@@ -1,0 +1,88 @@
+"""Poseidon Merkle trees with caps, vectorized over all nodes per level.
+
+TPU-native analog of the reference's external plonky2 Merkle commitment
+(SURVEY.md §2.3, "LDE + Merkle commitment"): leaf hashing is one batched
+Poseidon sponge over every row of the LDE matrix at once, and each tree
+level is one batched two_to_one compression — pure VPU work with static
+shapes.  A *cap* of 2^cap_height roots is kept (like plonky2's MerkleCap)
+so multi-chip builds can hash sub-trees locally and only exchange caps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field.poseidon import hash_no_pad_ints, two_to_one_ints, DIGEST
+
+
+class MerkleTree:
+    """Committed matrix + digest levels (device-resident backend arrays).
+
+    levels[0] = leaf digests, levels[-1] = cap; each level is a stacked
+    (lo, hi) pair of shape (DIGEST, size).
+    """
+
+    def __init__(self, G, leaves_lo, leaves_hi, levels, cap_height):
+        self.G = G
+        self.leaves_lo = leaves_lo  # (M, C) uint32
+        self.leaves_hi = leaves_hi
+        self.levels = levels
+        self.cap_height = cap_height
+
+    @property
+    def num_leaves(self):
+        return self.leaves_lo.shape[0]
+
+    def cap_u64(self):
+        """Cap digests as host numpy uint64 (cap_size, DIGEST)."""
+        lo, hi = self.levels[-1]
+        return np.asarray(self.G.to_u64((lo, hi))).T
+
+    def open_row(self, index: int):
+        """Merkle path for leaf `index`: (leaf_values_u64, path) where path is
+        a list of sibling digests (uint64[DIGEST]) from leaf level up to cap."""
+        G = self.G
+        row = np.asarray(G.to_u64((self.leaves_lo[index], self.leaves_hi[index])))
+        path = []
+        idx = index
+        for lo, hi in self.levels[:-1]:
+            sib = idx ^ 1
+            path.append(np.asarray(G.to_u64((lo[:, sib], hi[:, sib]))))
+            idx >>= 1
+        return row, path
+
+
+def merkle_commit(G, H, matrix, cap_height: int) -> MerkleTree:
+    """Commit to a (M, C) matrix of field values ((lo, hi) uint32 arrays).
+
+    Leaf i hashes row i (all C values); levels are built until 2^cap_height
+    nodes remain.
+    """
+    lo, hi = matrix
+    m, c = lo.shape
+    log_m = int(m).bit_length() - 1
+    assert (1 << log_m) == m
+    assert cap_height <= log_m
+    digest = H.hash_no_pad((lo.T, hi.T))  # stacked (DIGEST, M)
+    levels = [digest]
+    cur = digest
+    size = m
+    while size > (1 << cap_height):
+        left = (cur[0][:, 0::2], cur[1][:, 0::2])
+        right = (cur[0][:, 1::2], cur[1][:, 1::2])
+        cur = H.two_to_one(left, right)
+        levels.append(cur)
+        size >>= 1
+    return MerkleTree(G, lo, hi, levels, cap_height)
+
+
+def verify_merkle_path(leaf_values_u64, index: int, path, cap_u64) -> bool:
+    """Check a Merkle path against a cap (host side, scalar Poseidon)."""
+    node = hash_no_pad_ints([int(v) for v in np.asarray(leaf_values_u64)])
+    idx = index
+    for sib in path:
+        s = tuple(int(x) for x in sib)
+        node = two_to_one_ints(s, node) if (idx & 1) else two_to_one_ints(node, s)
+        idx >>= 1
+    expect = tuple(int(x) for x in np.asarray(cap_u64)[idx])
+    return node == expect

@@ -1,0 +1,133 @@
+"""Radix-2 NTT / inverse NTT / coset LDE over Goldilocks, batched over columns.
+
+TPU-first design: values live as (lo, hi) uint32 arrays of shape (n, C) —
+rows are the evaluation domain, columns are polynomials (wires, sigmas,
+quotient chunks, ...).  Every butterfly stage is a static reshape + slice +
+vectorized field op, so XLA sees a fixed dataflow graph it can tile onto
+the VPU; the same code runs inside shard_map for the multi-chip domain
+sharding (see tpu_acir_prover/parallel/).
+
+This subsumes the role of the reference's external plonky2 fork FFT
+(SURVEY.md §2.3: LDE + polynomial ops parallelized with rayon) — here the
+parallelism is vectorization + mesh sharding instead of CPU threads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..field import gl as _gl
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_tables(log_n: int, inverse: bool):
+    """Per-stage twiddle factors, stage s has 2^s twiddles (numpy uint64)."""
+    tables = []
+    for s in range(log_n):
+        h = 1 << s
+        w = _gl.root_of_unity(s + 1)
+        if inverse:
+            w = _gl.s_inv(w)
+        tw = np.empty(h, dtype=np.uint64)
+        cur = 1
+        for j in range(h):
+            tw[j] = cur
+            cur = _gl.s_mul(cur, w)
+        tables.append(tw)
+    return tables
+
+
+@functools.lru_cache(maxsize=None)
+def bit_reverse_indices(log_n: int):
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+def _as_2d(a):
+    return a if a.ndim == 2 else a.reshape(a.shape[0], 1)
+
+
+def ntt(G, values, inverse=False):
+    """NTT along axis 0 of (lo, hi) arrays shaped (n,) or (n, C).
+
+    Natural-order input and output (bit-reversal applied internally).
+    """
+    xp = G.xp
+    lo, hi = values
+    squeeze = lo.ndim == 1
+    lo, hi = _as_2d(lo), _as_2d(hi)
+    n, c = lo.shape
+    log_n = int(n).bit_length() - 1
+    assert (1 << log_n) == n, "NTT size must be a power of two"
+
+    rev = bit_reverse_indices(log_n)
+    lo = xp.take(lo, xp.asarray(rev.astype(np.int32)), axis=0)
+    hi = xp.take(hi, xp.asarray(rev.astype(np.int32)), axis=0)
+
+    tables = _twiddle_tables(log_n, inverse)
+    for s in range(log_n):
+        h = 1 << s
+        tw = G.from_u64(tables[s])  # shape (h,)
+        tw = (tw[0].reshape(1, h, 1), tw[1].reshape(1, h, 1))
+        a = (lo.reshape(-1, 2, h, c)[:, 0], hi.reshape(-1, 2, h, c)[:, 0])
+        b = (lo.reshape(-1, 2, h, c)[:, 1], hi.reshape(-1, 2, h, c)[:, 1])
+        t = G.mul(b, tw)
+        s0 = G.add(a, t)
+        s1 = G.sub(a, t)
+        lo = xp.stack([s0[0], s1[0]], axis=1).reshape(n, c)
+        hi = xp.stack([s0[1], s1[1]], axis=1).reshape(n, c)
+
+    if inverse:
+        n_inv = G.from_u64(np.uint64(_gl.s_inv(n)))
+        lo, hi = G.mul((lo, hi), (n_inv[0].reshape(1, 1), n_inv[1].reshape(1, 1)))
+    if squeeze:
+        lo, hi = lo.reshape(-1), hi.reshape(-1)
+    return lo, hi
+
+
+def intt(G, values):
+    return ntt(G, values, inverse=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers(log_n: int, shift: int, inverse: bool):
+    n = 1 << log_n
+    s = _gl.s_inv(shift) if inverse else (shift % _gl.P)
+    out = np.empty(n, dtype=np.uint64)
+    cur = 1
+    for i in range(n):
+        out[i] = cur
+        cur = _gl.s_mul(cur, s)
+    return out
+
+
+def coset_lde(G, coeffs, rate_bits: int, shift: int = _gl.MULTIPLICATIVE_GENERATOR):
+    """Evaluate polynomials (coeff form, shape (n, C)) on the coset
+    shift * H_{n * 2^rate_bits}, returning (n * 2^rate_bits, C) evals."""
+    xp = G.xp
+    lo, hi = _as_2d(coeffs[0]), _as_2d(coeffs[1])
+    n, c = lo.shape
+    log_n = int(n).bit_length() - 1
+    m = n << rate_bits
+    sp = G.from_u64(_shift_powers(log_n, shift, False))
+    lo, hi = G.mul((lo, hi), (sp[0].reshape(n, 1), sp[1].reshape(n, 1)))
+    pad = ((0, m - n), (0, 0))
+    lo = xp.pad(lo, pad)
+    hi = xp.pad(hi, pad)
+    return ntt(G, (lo, hi))
+
+
+def coset_intt(G, values, shift: int = _gl.MULTIPLICATIVE_GENERATOR):
+    """Interpolate values on coset shift * H_m back to coefficients."""
+    lo, hi = _as_2d(values[0]), _as_2d(values[1])
+    m = lo.shape[0]
+    log_m = int(m).bit_length() - 1
+    lo, hi = intt(G, (lo, hi))
+    sp = G.from_u64(_shift_powers(log_m, shift, True))
+    return G.mul((lo, hi), (sp[0].reshape(m, 1), sp[1].reshape(m, 1)))
