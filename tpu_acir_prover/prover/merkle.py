@@ -77,12 +77,15 @@ def merkle_commit(G, H, matrix, cap_height: int) -> MerkleTree:
 
 
 def verify_merkle_path(leaf_values_u64, index: int, path, cap_u64) -> bool:
-    """Check a Merkle path against a cap (host side, scalar Poseidon)."""
-    node = hash_no_pad_ints([int(v) for v in np.asarray(leaf_values_u64)])
+    """Check a Merkle path against a cap (host side, scalar Poseidon).
+
+    NB: no np.asarray on python-int inputs — numpy 2.x silently coerces
+    ints >= 2^63 to float64, corrupting field elements."""
+    node = hash_no_pad_ints([int(v) for v in leaf_values_u64])
     idx = index
     for sib in path:
         s = tuple(int(x) for x in sib)
         node = two_to_one_ints(s, node) if (idx & 1) else two_to_one_ints(node, s)
         idx >>= 1
-    expect = tuple(int(x) for x in np.asarray(cap_u64)[idx])
+    expect = tuple(int(x) for x in cap_u64[idx])
     return node == expect
