@@ -1,0 +1,88 @@
+"""High-level pipeline: the use-case layer (reference actions/*.rs analog).
+
+prove_file / write_vk_file / verify_file mirror ProveAction / WriteVKAction /
+VerifyAction (actions/prove_action.rs:27-43, write_vk_action.rs:64-81,
+verify_action.rs:10-18), with one deliberate improvement the reference
+flags in its own comments (prove_action.rs:18-19): the translated+compiled
+circuit and device-resident proving key are cached by bytecode hash and
+shared between prove and write_vk instead of being rebuilt per command.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .acir import codec
+from .acir.translator import translate_program, AcirTranslator
+from .circuit.compile import CompiledCircuit, compile_circuit
+from .prover.config import ProofConfig, STANDARD_CONFIG
+from .prover.prove import ProvingKey, prove
+from .prover.serialization import (deserialize_proof, deserialize_vk,
+                                   serialize_proof, serialize_vk)
+from .prover.verify import verify
+
+
+def _select_xp(backend: Optional[str] = None):
+    backend = backend or os.environ.get("TPU_ACIR_BACKEND", "jax")
+    if backend == "numpy":
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+_CACHE: Dict[Tuple[bytes, ProofConfig, int], Tuple[AcirTranslator, ProvingKey]] = {}
+
+
+def load_and_compile(bytecode_path: str, config: ProofConfig = STANDARD_CONFIG,
+                     backend: Optional[str] = None):
+    """ACIR artifact -> (translator, proving key), cached by file content."""
+    with open(bytecode_path, "rb") as f:
+        content = f.read()
+    xp = _select_xp(backend)
+    key = (hashlib.sha256(content).digest(), config, id(xp))
+    if key in _CACHE:
+        return _CACHE[key]
+    program = codec.load_program_artifact(bytecode_path)
+    tr = translate_program(program)
+    compiled = compile_circuit(tr.builder)
+    pk = ProvingKey(compiled, config, xp=xp)
+    _CACHE[key] = (tr, pk)
+    return tr, pk
+
+
+def prove_file(bytecode_path: str, witness_path: str, out_path: str,
+               config: ProofConfig = STANDARD_CONFIG,
+               backend: Optional[str] = None) -> bytes:
+    tr, pk = load_and_compile(bytecode_path, config, backend)
+    ws = codec.load_witness_stack(witness_path)
+    witness_map = ws.peek().witness if ws.stack else {}
+    ext = tr.external_values(witness_map)
+    proof = prove(pk, ext)
+    data = serialize_proof(proof)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def write_vk_file(bytecode_path: str, out_path: str,
+                  config: ProofConfig = STANDARD_CONFIG,
+                  backend: Optional[str] = None) -> bytes:
+    _, pk = load_and_compile(bytecode_path, config, backend)
+    data = serialize_vk(pk.vk)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def verify_file(vk_path: str, proof_path: str) -> None:
+    """Raises on failure; returns None on success (reference semantics:
+    empty output = success, panic = failure, verify_action.rs:10-18)."""
+    with open(vk_path, "rb") as f:
+        vk = deserialize_vk(f.read())
+    with open(proof_path, "rb") as f:
+        proof = deserialize_proof(f.read())
+    verify(vk, proof)
