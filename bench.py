@@ -1,0 +1,60 @@
+"""Benchmark harness: Goldilocks NTT throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: radix-2 NTT butterflies/s/chip over a (2^20, 6) batch — the hot
+kernel of LDE/FRI proving (BASELINE.md: the reference publishes no numbers;
+its analog is the plonky2 fork's rayon FFT).  vs_baseline is the ratio to a
+single-core Rust plonky2 FFT estimate of ~175e6 butterflies/s (2^20-point
+forward FFT in ~60 ms/column on a modern x86 core), the "single-core Rust"
+yardstick named in BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+LOG_N = int(os.environ.get("BENCH_LOG_N", "20"))
+COLS = int(os.environ.get("BENCH_COLS", "6"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+RUST_SINGLE_CORE_BUTTERFLIES_PER_S = 175e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tpu_acir_prover.field.gl import make_gl, P
+    from tpu_acir_prover.prover.ntt import ntt
+
+    G = make_gl(jnp)
+    n = 1 << LOG_N
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, P, size=(n, COLS), dtype=np.uint64)
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+
+    fn = jax.jit(lambda a, b: ntt(G, (a, b)))
+    out = fn(lo, hi)
+    out[0].block_until_ready()  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = fn(lo, hi)
+    out[0].block_until_ready()
+    dt = (time.perf_counter() - t0) / REPS
+
+    butterflies = COLS * (n // 2) * LOG_N
+    rate = butterflies / dt
+    print(json.dumps({
+        "metric": f"goldilocks_ntt_butterflies_per_s_chip (2^{LOG_N} x {COLS})",
+        "value": round(rate, 1),
+        "unit": "butterflies/s",
+        "vs_baseline": round(rate / RUST_SINGLE_CORE_BUTTERFLIES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

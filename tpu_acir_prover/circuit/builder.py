@@ -44,6 +44,7 @@ GEN_MUL = 4       # out = v[a] * v[b]
 GEN_MULADDC = 5   # out = v[a] * const + v[b]
 GEN_INV = 6       # out = v[a]^-1  (0 -> 0, like plonky2's inverse generator)
 GEN_BIT = 7       # out = (v[a] >> const) & 1
+GEN_HINT_OUT = 8  # out = hint[a].fn(inputs)[const]  (custom host generator)
 
 
 @dataclass
@@ -53,6 +54,16 @@ class GenOp:
     a: int = 0
     b: int = 0
     const: int = 0
+
+
+@dataclass
+class Hint:
+    """Custom host-side witness generator: python ints in, python ints out.
+    The analog of plonky2's SimpleGenerator (e.g. BigUintDivRemGenerator,
+    biguint.rs:316-360) — compute a hint, then constrain it algebraically."""
+    inputs: Tuple[int, ...]
+    outputs: Tuple[int, ...]
+    fn: object  # Callable[[List[int]], List[int]]
 
 
 @dataclass
@@ -69,6 +80,7 @@ class CircuitBuilder:
     def __init__(self):
         self.rows: List[GateRow] = []
         self.gen_ops: List[GenOp] = []
+        self.hints: List[Hint] = []
         self.num_vars = 0
         self._const_cache: Dict[int, int] = {}
         self.public_inputs: List[int] = []
@@ -89,6 +101,17 @@ class CircuitBuilder:
         v = self._new_var()
         self.gen_ops.append(GenOp(GEN_EXTERNAL, v))
         return v
+
+    def hint(self, inputs: Sequence[int], num_outputs: int, fn) -> List[int]:
+        """Create num_outputs variables computed by fn(input_values) at
+        witness-generation time.  UNCONSTRAINED — caller must add the
+        algebraic check (the hint+check pattern, SURVEY.md C19/C21)."""
+        outs = [self._new_var() for _ in range(num_outputs)]
+        hid = len(self.hints)
+        self.hints.append(Hint(tuple(inputs), tuple(outs), fn))
+        for j, o in enumerate(outs):
+            self.gen_ops.append(GenOp(GEN_HINT_OUT, o, a=hid, const=j))
+        return outs
 
     def constant(self, value: int) -> int:
         value %= P

@@ -29,6 +29,7 @@ from ..field import gl as _gl
 from ..field.gl import P, make_gl
 from .builder import (CircuitBuilder, GEN_EXTERNAL, GEN_CONST, GEN_ADD,
                       GEN_SUB, GEN_MUL, GEN_MULADDC, GEN_INV, GEN_BIT,
+                      GEN_HINT_OUT, Hint,
                       NUM_WIRES, NUM_SELECTORS, SEL_QM, SEL_Q0, SEL_QC)
 
 _GNP = make_gl(np)
@@ -72,6 +73,7 @@ class CompiledCircuit:
     sigma: np.ndarray           # (NUM_WIRES, n) uint64  (sigma poly values)
     k_shifts: Tuple[int, ...]   # coset shifts k_0..k_{W-1}
     gen_batches: List[GenBatch]
+    hints: List[Hint]
     external_vars: np.ndarray   # int64, in creation order
     public_input_vars: np.ndarray  # int64
     num_public_inputs: int
@@ -119,6 +121,22 @@ class CompiledCircuit:
                 v64 = G.to_u64(av)
                 bit = (v64 >> bt.const) & np.uint64(1)
                 r = (bit.astype(np.uint32), np.zeros_like(bit, dtype=np.uint32))
+            elif bt.op == GEN_HINT_OUT:
+                # run each distinct hint once, scatter all its outputs
+                out_lo = np.zeros(bt.out.shape[0], dtype=np.uint32)
+                out_hi = np.zeros(bt.out.shape[0], dtype=np.uint32)
+                done = {}
+                for pos in range(bt.out.shape[0]):
+                    hid = int(bt.a[pos])
+                    j = int(bt.const[pos])
+                    if hid not in done:
+                        h = self.hints[hid]
+                        ivals = [int(G.to_u64((lo[i], hi[i]))) for i in h.inputs]
+                        done[hid] = [v % P for v in h.fn(ivals)]
+                    v = done[hid][j]
+                    out_lo[pos] = v & 0xFFFFFFFF
+                    out_hi[pos] = v >> 32
+                r = (out_lo, out_hi)
             else:
                 raise AssertionError(f"bad generator opcode {bt.op}")
             lo[bt.out] = r[0]
@@ -170,6 +188,10 @@ def _schedule_generators(builder: CircuitBuilder) -> List[GenBatch]:
                 lv = max(lv, level[op.a] + 1)
             if op.op in uses_b:
                 lv = max(lv, level[op.b] + 1)
+            if op.op == GEN_HINT_OUT:
+                h = builder.hints[op.a]
+                for i in h.inputs:
+                    lv = max(lv, level[i] + 1)
             if op.op in (GEN_CONST, GEN_EXTERNAL):
                 lv = 0
             if lv != level[op.out]:
@@ -249,6 +271,7 @@ def compile_circuit(builder: CircuitBuilder) -> CompiledCircuit:
         n=n, log_n=log_n, num_vars=builder.num_vars,
         selectors=selectors, wire_vars=wire_vars, sigma=sigma,
         k_shifts=k_shifts, gen_batches=_schedule_generators(builder),
+        hints=list(builder.hints),
         external_vars=external_vars,
         public_input_vars=np.array(builder.public_inputs, dtype=np.int64),
         num_public_inputs=num_pub,

@@ -96,11 +96,10 @@ def make_sharded_ntt(mesh, axis: str, a: int, b: int, inverse=False):
         x = ntt(G, (glo.T, ghi.T), inverse=inverse)  # (b, a/d)
         return x[0], x[1]
 
-    from jax.experimental.shard_map import shard_map
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(PS(None, axis), PS(None, axis),
-                             PS(None, axis), PS(None, axis)),
-                   out_specs=(PS(None, axis), PS(None, axis)))
+    fn = jax.jit(shard_map_compat(
+        local, mesh,
+        (PS(None, axis), PS(None, axis), PS(None, axis), PS(None, axis)),
+        (PS(None, axis), PS(None, axis))))
 
     def run(values):
         lo, hi = values
@@ -108,3 +107,18 @@ def make_sharded_ntt(mesh, axis: str, a: int, b: int, inverse=False):
         return fn(lo, hi, jnp.asarray(tw_lo), jnp.asarray(tw_hi))
 
     return run
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: new API (check_vma) or old (check_rep)."""
+    import jax
+    try:
+        from jax import shard_map as _sm
+        try:
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+        except TypeError:
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
