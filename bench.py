@@ -20,10 +20,41 @@ import numpy as np
 LOG_N = int(os.environ.get("BENCH_LOG_N", "20"))
 COLS = int(os.environ.get("BENCH_COLS", "6"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
+MODE = os.environ.get("BENCH_MODE", "ntt")  # "ntt" | "prove"
 RUST_SINGLE_CORE_BUTTERFLIES_PER_S = 175e6
+# single-core Rust plonky2 end-to-end prove estimate at 2^20 rows
+# (plonky2 README-class numbers extrapolated to one core): ~20 s
+RUST_SINGLE_CORE_PROVE_S = 20.0
+
+
+def bench_prove():
+    """End-to-end prover wall time at 2^LOG_N rows (steady state, compile
+    cached in the ProvingKey)."""
+    from tpu_acir_prover.prover.config import STANDARD_CONFIG
+    from tpu_acir_prover.prover.prove import ProvingKey, prove
+    from tpu_acir_prover.utils.bench_circuits import mul_chain_circuit
+
+    cc = mul_chain_circuit(LOG_N)
+    pk = ProvingKey(cc, STANDARD_CONFIG)
+    ext = np.array([], dtype=np.uint64)
+    prove(pk, ext)  # warmup: compiles every phase
+    reps = max(1, REPS // 2)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        proof = prove(pk, ext)
+    dt = (time.perf_counter() - t0) / reps
+    del proof
+    print(json.dumps({
+        "metric": f"prover_wall_time_2pow{LOG_N}_rows",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(RUST_SINGLE_CORE_PROVE_S / dt, 2),
+    }))
 
 
 def main():
+    if MODE == "prove":
+        return bench_prove()
     import jax
     import jax.numpy as jnp
     from tpu_acir_prover.field.gl import make_gl, P

@@ -199,9 +199,31 @@ def make_gl(xp):
             e >>= 1
         return result
 
-    def inv(a):
-        """Inverse via Fermat: a^(p-2). a must be nonzero."""
-        return pow_const(a, P - 2)
+    if "jax" in getattr(xp, "__name__", ""):
+        from jax import lax as _lax
+
+        _INV_BITS = _np.array([(P - 2) >> k & 1 for k in range(64)],
+                              dtype=_np.uint32)
+
+        def inv(a):
+            """Inverse via Fermat a^(p-2), as a 64-step scan (compact jaxpr
+            vs ~96 unrolled muls — keeps XLA compile times sane)."""
+
+            def body(carry, bit):
+                result, base = carry
+                cand = mul(result, base)
+                sel = (xp.where(bit, cand[0], result[0]),
+                       xp.where(bit, cand[1], result[1]))
+                return (sel, mul(base, base)), None
+
+            one = const(1, xp.shape(a[0]))
+            (result, _base), _ = _lax.scan(
+                body, (one, a), xp.asarray(_INV_BITS).astype(bool))
+            return result
+    else:
+        def inv(a):
+            """Inverse via Fermat: a^(p-2). a must be nonzero."""
+            return pow_const(a, P - 2)
 
     def to_u64(a):
         """(lo, hi) -> numpy uint64 (host only; materializes)."""

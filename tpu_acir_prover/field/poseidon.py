@@ -77,18 +77,42 @@ def make_poseidon(G):
     def _bshape(extra_rank):
         return (WIDTH,) + (1,) * extra_rank
 
-    def _mds_layer(state):
+    def _mds_layer_py(state):
         """out[i] = sum_j MDS[i, j] * state[j], via 12 broadcast mul-adds."""
         lo, hi = state
         extra = lo.ndim - 1
         acc = None
         for j in range(WIDTH):
             col = (xp.asarray(mds_lo_np[:, j]).reshape(_bshape(extra)),
-                   xp.asarray(mds_hi_np[:, j]).reshape(_bshape(extra)))
+                   hp_asarray(mds_hi_np[:, j]).reshape(_bshape(extra)))
             sj = (lo[j:j + 1], hi[j:j + 1])  # (1, *batch) broadcasts against (12, 1..)
             term = G.mul(col, sj)
             acc = term if acc is None else G.add(acc, term)
         return acc
+
+    hp_asarray = xp.asarray
+
+    if is_jax:
+        from jax import lax as _lax
+
+        def _mds_layer(state):
+            """Scan over the 12 MDS columns: ~12x smaller jaxpr than the
+            unrolled loop (keeps whole-prover jit compiles fast)."""
+            lo, hi = state
+            extra = lo.ndim - 1
+            cols_lo = xp.asarray(mds_lo_np.T).reshape((WIDTH,) + _bshape(extra))
+            cols_hi = xp.asarray(mds_hi_np.T).reshape((WIDTH,) + _bshape(extra))
+
+            def body(acc, xs):
+                clo, chi, sl, sh = xs
+                term = G.mul((clo, chi), (sl[None], sh[None]))
+                return (G.add(acc, term)), None
+
+            z = xp.zeros_like(lo)
+            (acc, _) = _lax.scan(body, (z, z), (cols_lo, cols_hi, lo, hi))
+            return acc
+    else:
+        _mds_layer = _mds_layer_py
 
     def _sbox(x):
         x2 = G.mul(x, x)
