@@ -21,11 +21,10 @@ from typing import List, Tuple
 import numpy as np
 
 from ..field import gl as _gl
-from ..field.ext import e_add, e_sub, e_mul, e_inv, e_pow
+from ..field.ext import e_add, e_sub, e_mul
 from ..field.gl import P
 from ..field.poseidon import make_poseidon, RATE, WIDTH, hash_no_pad_ints
-from .merkle import MerkleTree, merkle_commit, verify_merkle_path
-from .ntt import coset_intt
+from .merkle import verify_merkle_path
 from .proof import FriStep
 from ..circuit.compile import powers_u64
 
@@ -37,62 +36,6 @@ def _to_dev(G, u64):
     u64 = np.asarray(u64, dtype=np.uint64)
     return (G.xp.asarray((u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
             G.xp.asarray((u64 >> np.uint64(32)).astype(np.uint32)))
-
-
-def _pair_leaf_matrix(G, values_ext):
-    """(m,) ext values -> (m/2, 4) base matrix [v0_re, v0_im, v1_re, v1_im]."""
-    xp = G.xp
-    (re_lo, re_hi), (im_lo, im_hi) = values_ext[0], values_ext[1]
-    m = re_lo.shape[0]
-    h = m // 2
-    lo = xp.stack([re_lo[:h], im_lo[:h], re_lo[h:], im_lo[h:]], axis=1)
-    hi = xp.stack([re_hi[:h], im_hi[:h], re_hi[h:], im_hi[h:]], axis=1)
-    return lo, hi
-
-
-def fri_commit(G, E, H, challenger, values_ext, shift: int, config):
-    """Commit phase: fold values_ext (on coset shift*H_m) down to the final
-    domain, committing every layer incl. L0.  Returns (trees, final_coeffs,
-    pow_witness); drives the challenger exactly as verify_fri re-derives it.
-    """
-    xp = G.xp
-    m = int(values_ext[0][0].shape[0])
-    trees: List[MerkleTree] = []
-    cur = values_ext
-    cur_shift = shift % P
-    while m > config.final_poly_domain:
-        h = m // 2
-        leaf = _pair_leaf_matrix(G, cur)
-        tree = merkle_commit(G, H, leaf, min(config.cap_height, h.bit_length() - 1))
-        challenger.observe_cap(tree.cap_u64())
-        beta = challenger.get_ext_challenge()
-        # fold: L'(i) = (v0+v1)/2 + beta*(v0-v1)/(2*x_i)
-        log_m = m.bit_length() - 1
-        w_inv = _gl.s_inv(_gl.root_of_unity(log_m))
-        inv2x = _mul_u64(powers_u64(w_inv, h), _gl.s_inv((2 * cur_shift) % P))
-        inv2x_dev = _to_dev(G, inv2x)
-        v0 = ((cur[0][0][:h], cur[0][1][:h]), (cur[1][0][:h], cur[1][1][:h]))
-        v1 = ((cur[0][0][h:], cur[0][1][h:]), (cur[1][0][h:], cur[1][1][h:]))
-        s = E.add(v0, v1)
-        d = E.sub(v0, v1)
-        half = G.const(_HALF, (1,))
-        beta_dev = (G.const(beta[0], (1,)), G.const(beta[1], (1,)))
-        folded = E.add(E.mul_base(s, half),
-                       E.mul(beta_dev, E.mul_base(d, inv2x_dev)))
-        trees.append(tree)
-        cur = folded
-        cur_shift = (cur_shift * cur_shift) % P
-        m = h
-    # final layer -> coefficients (host ints)
-    re = coset_intt(G, cur[0], shift=cur_shift)
-    im = coset_intt(G, cur[1], shift=cur_shift)
-    re64 = np.asarray(G.to_u64((re[0].reshape(-1), re[1].reshape(-1))))
-    im64 = np.asarray(G.to_u64((im[0].reshape(-1), im[1].reshape(-1))))
-    final_coeffs = [(int(a), int(b)) for a, b in zip(re64, im64)]
-    for c0, c1 in final_coeffs:
-        challenger.observe(c0)
-        challenger.observe(c1)
-    return trees, final_coeffs
 
 
 def _mul_u64(arr: np.ndarray, scalar: int) -> np.ndarray:

@@ -28,6 +28,7 @@ class MerkleTree:
         self.leaves_hi = leaves_hi
         self.levels = levels
         self.cap_height = cap_height
+        self._host_levels = None
 
     @property
     def num_leaves(self):
@@ -38,18 +39,41 @@ class MerkleTree:
         lo, hi = self.levels[-1]
         return np.asarray(self.G.to_u64((lo, hi))).T
 
+    def rows_u64(self, indices):
+        """Gather leaf rows for many indices in one device op + transfer:
+        (len(indices), C) uint64."""
+        G = self.G
+        idx = G.xp.asarray(np.asarray(indices, dtype=np.int32))
+        lo = G.xp.take(self.leaves_lo, idx, axis=0)
+        hi = G.xp.take(self.leaves_hi, idx, axis=0)
+        return np.asarray(G.to_u64((lo, hi)))
+
     def open_row(self, index: int):
         """Merkle path for leaf `index`: (leaf_values_u64, path) where path is
         a list of sibling digests (uint64[DIGEST]) from leaf level up to cap."""
+        row = self.rows_u64([index])[0]
+        return row, self.paths_for([index])[0]
+
+    def paths_for(self, indices):
+        """Merkle paths for many leaves: one batched device gather per level,
+        ONE device->host transfer total (the chip may sit behind a network
+        tunnel, so round trips — not bytes — dominate query assembly)."""
         G = self.G
-        row = np.asarray(G.to_u64((self.leaves_lo[index], self.leaves_hi[index])))
-        path = []
-        idx = index
+        xp = G.xp
+        cur = np.asarray(indices, dtype=np.int64)
+        gathered = []
         for lo, hi in self.levels[:-1]:
-            sib = idx ^ 1
-            path.append(np.asarray(G.to_u64((lo[:, sib], hi[:, sib]))))
-            idx >>= 1
-        return row, path
+            sib = xp.asarray((cur ^ 1).astype(np.int32))
+            gathered.append((xp.take(lo, sib, axis=1), xp.take(hi, sib, axis=1)))
+            cur >>= 1
+        if not gathered:
+            return [[] for _ in indices]
+        cat_lo = xp.concatenate([g[0] for g in gathered], axis=0)  # (4*L, Q)
+        cat_hi = xp.concatenate([g[1] for g in gathered], axis=0)
+        flat = np.asarray(G.to_u64((cat_lo, cat_hi)))
+        nlev = len(gathered)
+        return [[flat[4 * l:4 * (l + 1), q] for l in range(nlev)]
+                for q in range(len(indices))]
 
 
 def merkle_commit(G, H, matrix, cap_height: int) -> MerkleTree:

@@ -535,6 +535,47 @@ class ProvingKey:
         return self.jit(("fri_fold", h), run)(
             *values_ext[0], *values_ext[1], *inv2x_dev, *_ext_arg(beta))
 
+    def grind(self, challenger, pow_bits: int, batch: int = 1 << 17) -> int:
+        """Proof-of-work grinding as ONE batched device Poseidon sweep
+        (the host-numpy fallback in fri.grind takes tens of seconds)."""
+        if not self.is_jax:
+            return grind(challenger, pow_bits)
+        from ..field.poseidon import RATE, WIDTH
+        G, H = self.G, self.H
+        xp = G.xp
+        # prepare the duplexed state with the pending input buffer applied;
+        # only the nonce lane (index k-1) varies per candidate
+        state = list(challenger.state)
+        for i, v in enumerate(challenger.input_buf):
+            state[i] = v
+        k = len(challenger.input_buf) + 1
+        assert k <= RATE
+        bound_hi = np.uint32(1 << (32 - pow_bits)) if pow_bits <= 32 else None
+        assert bound_hi is not None, "pow_bits > 32 unsupported"
+
+        def run(slo, shi, start):
+            nonces = start + xp.arange(batch, dtype=xp.uint32)
+            st_lo = xp.broadcast_to(slo.reshape(WIDTH, 1), (WIDTH, batch))
+            st_hi = xp.broadcast_to(shi.reshape(WIDTH, 1), (WIDTH, batch))
+            st_lo = st_lo.at[k - 1].set(nonces)
+            st_hi = st_hi.at[k - 1].set(xp.zeros(batch, xp.uint32))
+            out = H.permute((st_lo, st_hi))
+            ok = out[1][RATE - 1] < bound_hi
+            idx = xp.argmax(ok)
+            return ok[idx], nonces[idx]
+
+        s64 = np.array(state, dtype=np.uint64)
+        slo = xp.asarray((s64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        shi = xp.asarray((s64 >> np.uint64(32)).astype(np.uint32))
+        jrun = self.jit(("grind", batch, k, pow_bits), run)
+        start = 0
+        while True:
+            found, nonce = jrun(slo, shi, np.uint32(start))
+            if bool(found):
+                return int(nonce)
+            start += batch
+            assert start < (1 << 32), "grinding exhausted 32-bit nonces"
+
     def fri_commit_layer(self, values_ext):
         G = self.G
         cap_height = self.config.cap_height
@@ -552,12 +593,6 @@ class ProvingKey:
         tree = MerkleTree(G, leaf[0], leaf[1], levels,
                           min(cap_height, h.bit_length() - 1))
         return tree
-
-
-def _open_row(tree: MerkleTree, idx: int) -> OracleOpening:
-    row, path = tree.open_row(idx)
-    return OracleOpening(row=[int(v) for v in row],
-                         path=[tuple(int(x) for x in d) for d in path])
 
 
 def prove(pk: ProvingKey, external_values: np.ndarray,
@@ -675,28 +710,40 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
 
     timer_fri.__exit__(None, None, None)
     with timer.phase("pow_grind"):
-        pow_witness = grind(challenger, cfg.pow_bits)
+        pow_witness = pk.grind(challenger, cfg.pow_bits)
     challenger.observe(pow_witness)
     pow_challenge = challenger.get_challenge()
     assert pow_challenge < (1 << (64 - cfg.pow_bits))
     indices = challenger.get_indices(cfg.num_queries, m)
 
-    # ---- phase 6: query rounds ------------------------------------------------
+    # ---- phase 6: query rounds (batched gathers: O(oracles + layers)
+    # device->host transfers, not O(queries * levels) — critical when the
+    # chip sits behind a network tunnel) ----------------------------------------
     timer_q = timer.phase("queries")
     timer_q.__enter__()
+    oracle_rows = [o.tree.rows_u64(indices) for o in oracles]
+    oracle_paths = [o.tree.paths_for(indices) for o in oracles]
+    layer_indices = []
+    cur_idx = list(indices)
+    for tree in fri_trees:
+        h = tree.num_leaves
+        cur_idx = [i % h for i in cur_idx]
+        layer_indices.append(list(cur_idx))
+    layer_rows = [t.rows_u64(ix) for t, ix in zip(fri_trees, layer_indices)]
+    layer_paths = [t.paths_for(ix) for t, ix in zip(fri_trees, layer_indices)]
     queries = []
-    for q in indices:
-        initial = [_open_row(o.tree, q) for o in oracles]
+    for qi in range(len(indices)):
+        initial = [OracleOpening(
+            row=[int(v) for v in oracle_rows[oi][qi]],
+            path=[tuple(int(x) for x in d) for d in oracle_paths[oi][qi]])
+            for oi in range(len(oracles))]
         steps = []
-        idx = q
-        for tree in fri_trees:
-            h = tree.num_leaves
-            j = idx % h
-            row, path = tree.open_row(j)
+        for li in range(len(fri_trees)):
+            row = layer_rows[li][qi]
             pair = ((int(row[0]), int(row[1])), (int(row[2]), int(row[3])))
-            steps.append(FriStep(pair=pair,
-                                 path=[tuple(int(x) for x in d) for d in path]))
-            idx = j
+            steps.append(FriStep(
+                pair=pair,
+                path=[tuple(int(x) for x in d) for d in layer_paths[li][qi]]))
         queries.append(QueryRound(initial=initial, steps=steps))
 
     timer_q.__exit__(None, None, None)
