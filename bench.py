@@ -53,6 +53,8 @@ def bench_prove():
 
 
 def main():
+    from tpu_acir_prover.utils.jaxcfg import setup_jax_cache
+    setup_jax_cache()
     if MODE == "prove":
         return bench_prove()
     import jax

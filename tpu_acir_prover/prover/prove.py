@@ -38,6 +38,8 @@ from .proof import (Openings, OracleOpening, Proof, QueryRound, FriStep,
 
 
 def _default_xp():
+    from ..utils.jaxcfg import setup_jax_cache
+    setup_jax_cache()
     import jax.numpy as jnp
     return jnp
 
