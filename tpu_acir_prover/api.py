@@ -21,7 +21,11 @@ from .acir.translator import translate_program, AcirTranslator
 from .circuit.compile import CompiledCircuit, compile_circuit
 from .prover.config import ProofConfig, STANDARD_CONFIG
 from .prover.prove import ProvingKey, prove
-from .prover.serialization import (deserialize_proof, deserialize_vk,
+from .prover.compress import compress_proof, decompress_proof
+from .prover.serialization import (COMPRESSED_PROOF_MAGIC,
+                                   deserialize_compressed_proof,
+                                   deserialize_proof, deserialize_vk,
+                                   serialize_compressed_proof,
                                    serialize_proof, serialize_vk)
 from .prover.verify import verify
 
@@ -56,13 +60,17 @@ def load_and_compile(bytecode_path: str, config: ProofConfig = STANDARD_CONFIG,
 
 def prove_file(bytecode_path: str, witness_path: str, out_path: str,
                config: ProofConfig = STANDARD_CONFIG,
-               backend: Optional[str] = None) -> bytes:
+               backend: Optional[str] = None, compress: bool = True) -> bytes:
     tr, pk = load_and_compile(bytecode_path, config, backend)
     ws = codec.load_witness_stack(witness_path)
     witness_map = ws.peek().witness if ws.stack else {}
     ext = tr.external_values(witness_map)
     proof = prove(pk, ext)
-    data = serialize_proof(proof)
+    if compress:
+        # the reference always writes compressed proofs (prove_action.rs:64-79)
+        data = serialize_compressed_proof(compress_proof(pk.vk, proof))
+    else:
+        data = serialize_proof(proof)
     with open(out_path, "wb") as f:
         f.write(data)
     return data
@@ -81,8 +89,13 @@ def write_vk_file(bytecode_path: str, out_path: str,
 def verify_file(vk_path: str, proof_path: str) -> None:
     """Raises on failure; returns None on success (reference semantics:
     empty output = success, panic = failure, verify_action.rs:10-18)."""
+    import struct
     with open(vk_path, "rb") as f:
         vk = deserialize_vk(f.read())
     with open(proof_path, "rb") as f:
-        proof = deserialize_proof(f.read())
+        data = f.read()
+    if len(data) >= 4 and struct.unpack("<I", data[:4])[0] == COMPRESSED_PROOF_MAGIC:
+        proof = decompress_proof(vk, deserialize_compressed_proof(data))
+    else:
+        proof = deserialize_proof(data)
     verify(vk, proof)

@@ -13,11 +13,13 @@ from __future__ import annotations
 import struct
 from typing import List
 
+from .compress import CompressedProof
 from .proof import (FriStep, Openings, OracleOpening, Proof, QueryRound,
                     VerifyingKey)
 
 VK_MAGIC = 0x54505532  # "TPU2"
 PROOF_MAGIC = 0x54505033  # "TPP3"
+COMPRESSED_PROOF_MAGIC = 0x54505043  # "TPPC"
 VERSION = 1
 
 
@@ -171,6 +173,76 @@ def serialize_proof(p: Proof) -> bytes:
             for d in s.path:
                 w.digest(d)
     return w.bytes()
+
+
+def serialize_compressed_proof(p: CompressedProof) -> bytes:
+    """Compressed wire format (the reference always writes compressed
+    proofs, prove_action.rs:64-79); shares every section with
+    serialize_proof except query rounds, which carry rows/pairs only plus
+    the per-tree pruned sibling streams."""
+    w = _W()
+    w.u32(COMPRESSED_PROOF_MAGIC)
+    w.u32(VERSION)
+    w.u32(len(p.public_inputs))
+    for v in p.public_inputs:
+        w.u64(v)
+    w.cap(p.wires_cap)
+    w.cap(p.z_cap)
+    w.cap(p.quotient_cap)
+    op = p.openings
+    for group in (op.constants_sigmas, op.wires, op.z, op.z_next, op.quotient):
+        w.ext_list(group)
+    w.u32(len(p.fri_caps))
+    for c in p.fri_caps:
+        w.cap(c)
+    w.ext_list(p.fri_final_coeffs)
+    w.u64(p.fri_pow_witness)
+    w.u32(len(p.query_rows))
+    for rows, pairs in zip(p.query_rows, p.step_pairs):
+        w.u32(len(rows))
+        for row in rows:
+            w.u32(len(row))
+            for v in row:
+                w.u64(v)
+        w.u32(len(pairs))
+        for (v0, v1) in pairs:
+            w.ext(v0)
+            w.ext(v1)
+    w.u32(len(p.pruned_paths))
+    for stream in p.pruned_paths:
+        w.u32(len(stream))
+        for d in stream:
+            w.digest(d)
+    return w.bytes()
+
+
+def deserialize_compressed_proof(data: bytes) -> CompressedProof:
+    r = _R(data)
+    if r.u32() != COMPRESSED_PROOF_MAGIC or r.u32() != VERSION:
+        raise ValueError("not a tpu_acir_prover compressed proof")
+    public_inputs = [r.u64() for _ in range(r.u32())]
+    wires_cap = r.cap()
+    z_cap = r.cap()
+    quotient_cap = r.cap()
+    groups = [r.ext_list() for _ in range(5)]
+    openings = Openings(*groups)
+    fri_caps = [r.cap() for _ in range(r.u32())]
+    final_coeffs = r.ext_list()
+    pow_witness = r.u64()
+    query_rows = []
+    step_pairs = []
+    for _ in range(r.u32()):
+        query_rows.append([[r.u64() for _ in range(r.u32())]
+                           for _ in range(r.u32())])
+        step_pairs.append([(r.ext(), r.ext()) for _ in range(r.u32())])
+    pruned = [[r.digest() for _ in range(r.u32())] for _ in range(r.u32())]
+    if not r.done():
+        raise ValueError("trailing bytes in compressed proof")
+    return CompressedProof(
+        public_inputs=public_inputs, wires_cap=wires_cap, z_cap=z_cap,
+        quotient_cap=quotient_cap, openings=openings, fri_caps=fri_caps,
+        fri_final_coeffs=final_coeffs, fri_pow_witness=pow_witness,
+        query_rows=query_rows, step_pairs=step_pairs, pruned_paths=pruned)
 
 
 def deserialize_proof(data: bytes) -> Proof:

@@ -36,21 +36,15 @@ class VerificationError(AssertionError):
     pass
 
 
-def verify(vk: VerifyingKey, proof: Proof) -> None:
-    n = 1 << vk.log_n
-    m = n << vk.rate_bits
-    W = vk.num_wires
-    nch = vk.num_quotient_chunks
-    op = proof.openings
+def derive_transcript(vk: VerifyingKey, proof: Proof):
+    """Replay the Fiat-Shamir transcript over the proof's commitments.
 
-    if len(proof.public_inputs) != vk.num_public_inputs:
-        raise VerificationError("public input count mismatch")
-    if len(op.constants_sigmas) != 2 + 2 * W or len(op.wires) != W \
-            or len(op.z) != 2 or len(op.z_next) != 2 \
-            or len(op.quotient) != 2 * nch:
-        raise VerificationError("malformed openings")
-
-    # ---- transcript --------------------------------------------------------
+    Returns (beta, gamma, alpha, zeta, fri_alpha, betas, pow_challenge,
+    indices).  Shared by verify() and the proof compressor (compress.py),
+    which needs the query indices to prune Merkle paths — the analog of the
+    reference's `proof.compress(circuit_digest, common)` needing CommonData
+    (prove_action.rs:75-78)."""
+    m = (1 << vk.log_n) << vk.rate_bits
     ch = Challenger()
     for d in vk.constants_cap:
         ch.observe_many(d)
@@ -62,7 +56,7 @@ def verify(vk: VerifyingKey, proof: Proof) -> None:
     alpha = ch.get_ext_challenge()
     ch.observe_cap(proof.quotient_cap)
     zeta = ch.get_ext_challenge()
-    for (a, b) in op.ordered():
+    for (a, b) in proof.openings.ordered():
         ch.observe(a)
         ch.observe(b)
     fri_alpha = ch.get_ext_challenge()
@@ -85,10 +79,28 @@ def verify(vk: VerifyingKey, proof: Proof) -> None:
         ch.observe(c1)
     ch.observe(proof.fri_pow_witness)
     pow_challenge = ch.get_challenge()
+    indices = ch.get_indices(vk.num_queries, m)
+    return beta, gamma, alpha, zeta, fri_alpha, betas, pow_challenge, indices
+
+
+def verify(vk: VerifyingKey, proof: Proof) -> None:
+    n = 1 << vk.log_n
+    m = n << vk.rate_bits
+    W = vk.num_wires
+    nch = vk.num_quotient_chunks
+    op = proof.openings
+
+    if len(proof.public_inputs) != vk.num_public_inputs:
+        raise VerificationError("public input count mismatch")
+    if len(op.constants_sigmas) != 2 + 2 * W or len(op.wires) != W \
+            or len(op.z) != 2 or len(op.z_next) != 2 \
+            or len(op.quotient) != 2 * nch:
+        raise VerificationError("malformed openings")
+
+    (beta, gamma, alpha, zeta, fri_alpha, betas, pow_challenge,
+     indices) = derive_transcript(vk, proof)
     if pow_challenge >= (1 << (64 - vk.pow_bits)):
         raise VerificationError("proof-of-work check failed")
-    indices = ch.get_indices(vk.num_queries, m)
-
     check_final_poly_degree(proof.fri_final_coeffs, vk.final_poly_domain,
                             vk.rate_bits)
 
