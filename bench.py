@@ -34,14 +34,23 @@ def bench_prove():
     from tpu_acir_prover.prover.prove import ProvingKey, prove
     from tpu_acir_prover.utils.bench_circuits import mul_chain_circuit
 
+    from tpu_acir_prover.utils.timing import env_timer
+
     cc = mul_chain_circuit(LOG_N)
+    t0 = time.perf_counter()
     pk = ProvingKey(cc, STANDARD_CONFIG)
+    print(f"  pk_build: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     ext = np.array([], dtype=np.uint64)
-    prove(pk, ext)  # warmup: compiles every phase
+    t0 = time.perf_counter()
+    prove(pk, ext, timer=env_timer())  # warmup: compiles every phase
+    print(f"  warmup_prove: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     reps = max(1, REPS // 2)
     t0 = time.perf_counter()
     for _ in range(reps):
-        proof = prove(pk, ext)
+        timer = env_timer()
+        proof = prove(pk, ext, timer=timer)
+        if timer.enabled:
+            timer.report()
     dt = (time.perf_counter() - t0) / reps
     del proof
     print(json.dumps({

@@ -113,6 +113,7 @@ def test_scalar_mul_small():
     pg = sec.point_constant(b, g)
     out = sec.scalar_mul(b, pg, bits)
     outf = sec.fixed_base_mul(b, g, bits)
+    outw = sec.windowed_scalar_mul(b, pg, bits)
     cc, vals = run_witness(b)
 
     def val(nn):
@@ -120,6 +121,23 @@ def test_scalar_mul_small():
 
     assert (val(out.x), val(out.y)) == expect
     assert (val(outf.x), val(outf.y)) == expect
+    assert (val(outw.x), val(outw.y)) == expect
+
+
+def test_windowed_scalar_mul_unaligned_width():
+    """Bit width not a multiple of the window (top window short)."""
+    b = CircuitBuilder()
+    g = (sec.GX, sec.GY)
+    k = 0b1_0110_1101  # 9 bits
+    expect = sec._mult(k, g)
+    bits = [b.constant((k >> i) & 1) for i in range(9)]
+    outw = sec.windowed_scalar_mul(b, sec.point_constant(b, g), bits)
+    cc, vals = run_witness(b)
+
+    def val(nn):
+        return sum(int(vals[v]) << (16 * i) for i, v in enumerate(nn.big.limbs))
+
+    assert (val(outw.x), val(outw.y)) == expect
 
 
 def _sign(msg_hash: int, priv: int, k: int):

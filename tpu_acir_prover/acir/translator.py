@@ -41,8 +41,8 @@ class MemoryBlock:
 
 
 class AcirTranslator:
-    def __init__(self):
-        self.builder = CircuitBuilder()
+    def __init__(self, lookup_bits: int = 0):
+        self.builder = CircuitBuilder(lookup_bits=lookup_bits)
         self.witness_to_var: Dict[int, int] = {}
         self.external_witness_order: List[int] = []
         self.memory_blocks: Dict[int, MemoryBlock] = {}
@@ -210,7 +210,15 @@ class AcirTranslator:
 
 
 def translate_program(program: ir.Program) -> AcirTranslator:
-    """Translate function 0, like the reference (prove_action.rs:33)."""
-    tr = AcirTranslator()
+    """Translate function 0, like the reference (prove_action.rs:33).
+
+    Circuits containing a heavy black box (SHA-256 compression / ECDSA —
+    the reference's gadget-library consumers, SURVEY.md C10-C11) get the
+    16-bit LogUp range table; small circuits skip it so their traces stay
+    below 2^16 rows."""
+    heavy = any(isinstance(op, (ir.BlackBoxSha256Compression,
+                                ir.BlackBoxEcdsaSecp256k1))
+                for op in program.functions[0].opcodes)
+    tr = AcirTranslator(lookup_bits=16 if heavy else 0)
     tr.translate(program.functions[0])
     return tr

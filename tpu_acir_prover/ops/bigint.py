@@ -3,25 +3,38 @@
 Capability analog of the reference's vendored BigUint stack (SURVEY.md
 C19-C20: biguint/biguint.rs add/sub/mul/cmp/div_rem).  Design differs by
 construction: the reference drives custom U32 gates (mul_add/add_many/
-subtraction with 2-bit-limb range constraints); on a universal PLONK gate
-the cheap primitive is "field-accumulate then re-split", so limbs are 16
-bits (schoolbook limb products stay far below the Goldilocks modulus) and
-every carry/borrow certificate is a hint + range-checked decomposition —
-the same hint+check pattern the reference uses for div_rem
-(BigUintDivRemGenerator, biguint.rs:316-360).
+subtraction with per-gate 2-bit-limb range constraints, C14-C18); here
+limb bounds come from the LogUp 16-bit lookup table (circuit/builder.py
+range_check) and multi-limb identities are enforced as ONE balanced
+column identity with hinted carry limbs:
+
+    sum_c 2^(16c) * lhs_col_c  ==  sum_c 2^(16c) * rhs_col_c
+
+checked column-by-column with offset-encoded signed carries, each row a
+wide dot-product gate.  Every per-column equation is an integer equality
+(all term ranges < 2^49 << p), so the telescoped sum is an exact integer
+identity — the same value-certificate style the reference uses for div_rem
+(BigUintDivRemGenerator, biguint.rs:316-360) at a fraction of the rows.
+
+When the builder has no lookup table (small circuits), range_check falls
+back to bit decomposition and everything still works, just wider.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Optional, Sequence, Tuple
 
-from ..circuit.builder import CircuitBuilder
+from ..circuit.builder import CircuitBuilder, NUM_PAIRS, NUM_WIRES
 from ..field.gl import P
 
 LIMB_BITS = 16
 LIMB_BASE = 1 << LIMB_BITS
 LIMB_MASK = LIMB_BASE - 1
+
+# offset encoding for signed carries: carry = c' - CARRY_OFF with
+# c' = c_lo + 2^16 c_hi, both 16-bit lookups -> carry in [-2^31, 2^33)
+CARRY_OFF = 1 << 31
 
 
 @dataclass
@@ -32,6 +45,12 @@ class BigUintTarget:
 
     def num_limbs(self):
         return len(self.limbs)
+
+
+# a column term is ("l", coeff, var) or ("m", coeff, var_a, var_b); coeff
+# must be a small positive integer (the int-range soundness argument needs
+# column values < ~2^40)
+Term = Tuple
 
 
 def limbs_of_int(v: int, n_limbs: int) -> List[int]:
@@ -67,59 +86,200 @@ def big_value_hint(vals: List[int], n_limbs: int) -> int:
     return sum(v << (LIMB_BITS * i) for i, v in enumerate(vals[:n_limbs]))
 
 
-def _split_loose(b: CircuitBuilder, loose: List[int], slack_bits: int,
-                 out_limbs: int) -> BigUintTarget:
-    """Carry-normalize 'loose' limb vars (each < 2^(16+slack)) into a
-    normalized BigUintTarget of out_limbs limbs.  One split per limb."""
-    out = []
-    carry = b.zero
-    for i in range(out_limbs):
-        t = loose[i] if i < len(loose) else b.zero
-        s = b.add(t, carry) if carry is not b.zero else t
-        bits = b.split_le(s, LIMB_BITS + slack_bits)
-        limb = b.le_sum_vars(bits[:LIMB_BITS])
-        carry = b.le_sum_vars(bits[LIMB_BITS:])
-        out.append(limb)
-    b.assert_zero(carry)  # no overflow past the output width
-    return BigUintTarget(out)
+def _col_value(col, get):
+    s = 0
+    for t in col:
+        if t[0] == "l":
+            s += t[1] * get(t[2])
+        else:
+            s += t[1] * get(t[2]) * get(t[3])
+    return s
+
+
+def _reduce_col(b: CircuitBuilder, col) -> Tuple[list, list]:
+    """Fold a column's terms until they fit one identity row alongside the
+    4 carry wires: returns (mul_terms, lin_terms) with
+    2*len(mul) + len(lin) <= NUM_WIRES - 4."""
+    muls = [(c, x, y) for (k, c, x, y) in
+            [(t[0], t[1], t[2], t[3] if t[0] == "m" else None) for t in col]
+            if k == "m"]
+    lins = [(t[1], t[2]) for t in col if t[0] == "l"]
+    budget = NUM_WIRES - 4
+    max_pairs = (NUM_WIRES - 1) // 2  # pairs + out var must fit one row
+    while 2 * len(muls) + len(lins) > budget:
+        nm = min(len(muls), max_pairs)
+        room = NUM_WIRES - 2 * nm - 1
+        nl = min(len(lins), max(0, room))
+        acc = b.new_derived()
+        b.dot_row(muls[:nm], lins[:nl], 0, acc)
+        muls = muls[nm:]
+        lins = [(1, acc)] + lins[nl:]
+    return muls, lins
+
+
+def assert_col_identity(b: CircuitBuilder, lhs_cols: List[list],
+                        rhs_cols: List[list]):
+    """Assert sum_c 2^(16c) lhs_col_c == sum_c 2^(16c) rhs_col_c via hinted
+    offset carries.  Column values must stay below ~2^40 (callers: at most
+    ~16 products of 16-bit limbs plus small-coefficient linear terms)."""
+    ncols = max(len(lhs_cols), len(rhs_cols))
+    lhs_cols = list(lhs_cols) + [[] for _ in range(ncols - len(lhs_cols))]
+    rhs_cols = list(rhs_cols) + [[] for _ in range(ncols - len(rhs_cols))]
+
+    # one hint computes every carry limb pair from all referenced vars
+    var_ix: dict = {}
+
+    def ix(v):
+        if v not in var_ix:
+            var_ix[v] = len(var_ix)
+        return var_ix[v]
+
+    sym = []
+    for lc, rc in zip(lhs_cols, rhs_cols):
+        sl = [("l", t[1], ix(t[2])) if t[0] == "l"
+              else ("m", t[1], ix(t[2]), ix(t[3])) for t in lc]
+        sr = [("l", t[1], ix(t[2])) if t[0] == "l"
+              else ("m", t[1], ix(t[2]), ix(t[3])) for t in rc]
+        sym.append((sl, sr))
+    inputs = list(var_ix.keys())
+
+    def fn(vals):
+        outs = []
+        carry = 0
+        for (sl, sr) in sym[:-1]:
+            diff = _col_value(sl, lambda i: vals[i]) \
+                - _col_value(sr, lambda i: vals[i]) + carry
+            assert diff % LIMB_BASE == 0, "column identity does not balance"
+            carry = diff >> LIMB_BITS
+            enc = carry + CARRY_OFF
+            assert 0 <= enc < (1 << 32), "carry out of encodable range"
+            outs.extend([enc & LIMB_MASK, enc >> LIMB_BITS])
+        return outs
+
+    carries = b.hint(inputs, 2 * (ncols - 1), fn) if ncols > 1 else []
+    for v in carries:
+        b.range_check(v, LIMB_BITS)
+
+    for c in range(ncols):
+        # lhs_col - rhs_col + carry_in - 2^16 * carry_out == 0, with
+        # carry = (c_lo + 2^16 c_hi) - CARRY_OFF
+        muls_l, lins_l = _reduce_col(b, lhs_cols[c])
+        muls_r, lins_r = _reduce_col(b, rhs_cols[c])
+        muls = muls_l + [((P - m0) % P, x, y) for m0, x, y in muls_r]
+        lins = lins_l + [((P - d) % P, v) for d, v in lins_r]
+        const = 0
+        if c > 0:
+            lins.append((1, carries[2 * (c - 1)]))
+            lins.append((LIMB_BASE, carries[2 * (c - 1) + 1]))
+            const -= CARRY_OFF
+        if c < ncols - 1:
+            lins.append((P - LIMB_BASE, carries[2 * c]))
+            lins.append(((P - (LIMB_BASE * LIMB_BASE)) % P,
+                         carries[2 * c + 1]))
+            const += CARRY_OFF * LIMB_BASE
+        # may exceed one row after merging both sides: fold again
+        max_pairs = (NUM_WIRES - 1) // 2
+        while 2 * len(muls) + len(lins) > NUM_WIRES or len(muls) > NUM_PAIRS:
+            nm = min(len(muls), max_pairs)
+            room = NUM_WIRES - 2 * nm - 1
+            nl = min(len(lins), max(0, room))
+            acc = b.new_derived()
+            b.dot_row(muls[:nm], lins[:nl], 0, acc)
+            muls = muls[nm:]
+            lins = [(1, acc)] + lins[nl:]
+        b.dot_row(muls, lins, const, None)
+
+
+def _mul_cols(x: BigUintTarget, y: BigUintTarget) -> List[list]:
+    cols = [[] for _ in range(x.num_limbs() + y.num_limbs() - 1)]
+    for i, xi in enumerate(x.limbs):
+        for j, yj in enumerate(y.limbs):
+            cols[i + j].append(("m", 1, xi, yj))
+    return cols
+
+
+def _mul_const_cols(c_limbs: List[int], y: BigUintTarget) -> List[list]:
+    """Columns of (constant c) * y as linear terms."""
+    cols = [[] for _ in range(len(c_limbs) + y.num_limbs() - 1)]
+    for i, ci in enumerate(c_limbs):
+        if ci == 0:
+            continue
+        for j, yj in enumerate(y.limbs):
+            cols[i + j].append(("l", ci, yj))
+    return cols
+
+
+def _limb_cols(x: BigUintTarget) -> List[list]:
+    return [[("l", 1, v)] for v in x.limbs]
+
+
+def _balance(b: CircuitBuilder, cols: List[list], out_limbs: int,
+             hint_inputs_extra=()) -> BigUintTarget:
+    """Produce normalized limbs out[c] with
+    sum 2^(16c) col_c == sum 2^(16c) out_c (hint + column identity)."""
+    var_ix: dict = {}
+
+    def ix(v):
+        if v not in var_ix:
+            var_ix[v] = len(var_ix)
+        return var_ix[v]
+
+    sym = [[("l", t[1], ix(t[2])) if t[0] == "l"
+            else ("m", t[1], ix(t[2]), ix(t[3])) for t in col]
+           for col in cols]
+    inputs = list(var_ix.keys())
+
+    def fn(vals):
+        total = 0
+        for c, col in enumerate(sym):
+            total += _col_value(col, lambda i: vals[i]) << (LIMB_BITS * c)
+        assert total < (1 << (LIMB_BITS * out_limbs)), \
+            "balance output width too small"
+        return limbs_of_int(total, out_limbs)
+
+    outs = b.hint(inputs, out_limbs, fn)
+    out = big_from_vars(b, outs)
+    assert_col_identity(b, cols, _limb_cols(out))
+    return out
 
 
 def big_add(b: CircuitBuilder, x: BigUintTarget, y: BigUintTarget) -> BigUintTarget:
     n = max(x.num_limbs(), y.num_limbs())
-    loose = []
-    for i in range(n):
-        xi = x.limbs[i] if i < x.num_limbs() else b.zero
-        yi = y.limbs[i] if i < y.num_limbs() else b.zero
-        loose.append(b.add(xi, yi))
-    return _split_loose(b, loose, 2, n + 1)
+    cols = [[] for _ in range(n)]
+    for i, xi in enumerate(x.limbs):
+        cols[i].append(("l", 1, xi))
+    for i, yi in enumerate(y.limbs):
+        cols[i].append(("l", 1, yi))
+    return _balance(b, cols, n + 1)
 
 
 def big_mul(b: CircuitBuilder, x: BigUintTarget, y: BigUintTarget) -> BigUintTarget:
-    """Schoolbook product (biguint.rs:183-207 analog): column sums stay
-    < 32 * 2^32 << p, then one carry normalization pass."""
-    nx, ny = x.num_limbs(), y.num_limbs()
-    cols = [[] for _ in range(nx + ny - 1)]
-    for i in range(nx):
-        for j in range(ny):
-            cols[i + j].append(b.mul(x.limbs[i], y.limbs[j]))
-    loose = [b.lincomb([(1, v) for v in col]) if len(col) > 1 else col[0]
-             for col in cols]
-    # column value < min(nx,ny) * 2^32: slack = 32 - 16 + ceil(log2 nlimbs)
-    slack = LIMB_BITS + max(nx, ny).bit_length()
-    return _split_loose(b, loose, slack, nx + ny)
+    """Schoolbook product (biguint.rs:183-207 analog) as one balanced
+    column identity."""
+    return _balance(b, _mul_cols(x, y), x.num_limbs() + y.num_limbs())
 
 
 def big_assert_eq(b: CircuitBuilder, x: BigUintTarget, y: BigUintTarget):
+    """Limb-wise equality, 3 limbs per row: sum of (x_i - y_i) 2^(16i)
+    over a 48-bit group is < p in magnitude, so the field equation forces
+    every limb difference to zero."""
     n = max(x.num_limbs(), y.num_limbs())
-    for i in range(n):
-        xi = x.limbs[i] if i < x.num_limbs() else b.zero
-        yi = y.limbs[i] if i < y.num_limbs() else b.zero
-        b.assert_equal(xi, yi)
+    for s in range(0, n, 3):
+        terms = []
+        for i in range(s, min(s + 3, n)):
+            w = 1 << (LIMB_BITS * (i - s))
+            if i < x.num_limbs():
+                terms.append((w, x.limbs[i]))
+            if i < y.num_limbs():
+                terms.append(((P - w) % P, y.limbs[i]))
+        if terms:
+            b.assert_lincomb_zero(terms)
 
 
 def big_assert_le(b: CircuitBuilder, x: BigUintTarget, y: BigUintTarget):
-    """x <= y: hint d = y - x, range-check d, check x + d == y
-    (role of the reference's ComparisonGate chain, C18/C20)."""
+    """x <= y: hint d = y - x (range-checked limbs), assert x + d == y as
+    a column identity (role of the reference's ComparisonGate chain,
+    C18/C20)."""
     n = max(x.num_limbs(), y.num_limbs())
 
     def fn(vals):
@@ -129,44 +289,44 @@ def big_assert_le(b: CircuitBuilder, x: BigUintTarget, y: BigUintTarget):
 
     d_vars = b.hint(list(x.limbs) + list(y.limbs), n, fn)
     d = big_from_vars(b, d_vars)
-    s = big_add(b, x, d)
-    big_assert_eq(b, s, y)
+    lhs = [[] for _ in range(n)]
+    for i, xi in enumerate(x.limbs):
+        lhs[i].append(("l", 1, xi))
+    for i, di in enumerate(d.limbs):
+        lhs[i].append(("l", 1, di))
+    assert_col_identity(b, lhs, _limb_cols(y))
 
 
 def big_lt_bool(b: CircuitBuilder, x: BigUintTarget, y: BigUintTarget) -> int:
-    """Boolean var: x < y (for the ECDSA r <= R.x quirk we also need le)."""
-    # hint the bool and the absolute difference, then check both branches:
-    # lt=1: x + 1 + d == y ; lt=0: y + d == x   <=>  x + lt + d' == y + (1-lt)*?
-    # simpler: hint lt; if lt: assert x+1 <= y else assert y <= x.
-    # branchless: s = lt ? (x, y) : (y, x); assert s0 + lt <= s1 ... to stay
-    # simple and sound we hint lt and d with d = (lt ? y-x-1 : x-y):
+    """Boolean var: x < y.  Hint lt and d = (lt ? y-x-1 : x-y); then
+    smaller + d + lt == bigger as one column identity over selected
+    limbs."""
     n = max(x.num_limbs(), y.num_limbs())
 
+    def pad(t):
+        return t.limbs + [b.zero] * (n - t.num_limbs())
+
+    xl, yl = pad(x), pad(y)
+
     def fn(vals):
-        xv = big_value_hint(vals[:x.num_limbs()], x.num_limbs())
-        yv = big_value_hint(vals[x.num_limbs():], y.num_limbs())
+        xv = big_value_hint(vals[:n], n)
+        yv = big_value_hint(vals[n:], n)
         lt = 1 if xv < yv else 0
         d = (yv - xv - 1) if lt else (xv - yv)
         return [lt] + limbs_of_int(d, n)
 
-    outs = b.hint(list(x.limbs) + list(y.limbs), 1 + n, fn)
+    outs = b.hint(xl + yl, 1 + n, fn)
     lt = outs[0]
     b.assert_bool(lt)
     d = big_from_vars(b, outs[1:])
-    # check: x + d + lt == y  (lt=1)  OR  y + d == x (lt=0)
-    # fold into one equation over values? widths differ; do per-branch with
-    # select on each limb of both sides:
-    xd = big_add(b, x, d)           # n+1 limbs
-    # xd + lt should equal y when lt=1 -> add lt to limb 0 then normalize
-    lhs1 = _split_loose(b, [b.add(xd.limbs[0], lt)] + xd.limbs[1:], 2,
-                        xd.num_limbs())
-    yd = big_add(b, y, d)           # y + d == x when lt=0
-    for i in range(n + 1):
-        yi = y.limbs[i] if i < n and i < y.num_limbs() else b.zero
-        xi = x.limbs[i] if i < n and i < x.num_limbs() else b.zero
-        want = b.select(lt, yi, xi)
-        got = b.select(lt, lhs1.limbs[i], yd.limbs[i])
-        b.assert_equal(got, want)
+    small = b.select_vec(lt, xl, yl)
+    big = b.select_vec(lt, yl, xl)
+    lhs = [[] for _ in range(n)]
+    lhs[0].append(("l", 1, lt))
+    for i in range(n):
+        lhs[i].append(("l", 1, small[i]))
+        lhs[i].append(("l", 1, d.limbs[i]))
+    assert_col_identity(b, lhs, [[("l", 1, v)] for v in big])
     return lt
 
 

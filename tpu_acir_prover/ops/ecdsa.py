@@ -23,8 +23,9 @@ from typing import List
 
 from .bigint import big_from_bytes_be, big_le_bool
 from .secp256k1 import (GX, GY, N_SCALAR, PointTarget, fixed_base_mul,
-                        nn_from_big, nn_inv, nn_mul, point_add,
-                        point_assert_on_curve, scalar_mul, Q)
+                        nn_assert_canonical, nn_from_big, nn_inv, nn_mul,
+                        point_add, point_assert_on_curve,
+                        windowed_scalar_mul, Q)
 
 
 def _scalar_bits(b, nn) -> List[int]:
@@ -55,9 +56,12 @@ def verify_ecdsa_in_circuit(b, pk_x_bytes, pk_y_bytes, sig_bytes,
     u2 = nn_mul(b, r, s_inv)
 
     r1 = fixed_base_mul(b, (GX, GY), _scalar_bits(b, u1))
-    r2 = scalar_mul(b, pk, _scalar_bits(b, u2))
+    r2 = windowed_scalar_mul(b, pk, _scalar_bits(b, u2))
     big_r = point_add(b, r1, r2)
 
+    # R.x is only weakly normalized; pin it below the field modulus so the
+    # integer comparison below is well-defined
+    nn_assert_canonical(b, big_r.x)
     # reference quirk: result = (r <= R.x) via cmp_biguint
     # (ecdsa_secp256k1_translator.rs:38-59)
     return big_le_bool(b, r_big, big_r.x.big)

@@ -2,10 +2,20 @@
 
 Capability analog of the reference's vendored nonnative/curve stack
 (SURVEY.md C21 nonnative.rs, C22 curve.rs): every modular operation is a
-host hint plus an algebraic certificate (x*y = k*q + r with r, k
-range-checked — the same overflow-quotient pattern as nonnative.rs:312-341),
-and curve arithmetic is affine with hinted slopes (3 modular mults per add,
-4 per double, no in-circuit inversions).
+host hint plus an algebraic certificate (x*y = k*q + r — the same
+overflow-quotient pattern as nonnative.rs:312-341), and curve arithmetic is
+affine with hinted slopes (3 modular mults per add, 4 per double, no
+in-circuit inversions).  Each certificate is ONE balanced column identity
+(ops/bigint.py assert_col_identity), so a 256-bit modular multiply costs
+~100 rows instead of thousands.
+
+Residues are kept WEAKLY normalized: r is range-checked to 16 limbs
+(< 2^256) but not canonically reduced below the modulus — every
+certificate checks congruence, which composes soundly; hints always emit
+canonical values so honest proving is complete.  (The reference's
+nonnative gadgets carry the same property: reduction happens lazily.)
+Canonicity is enforced only where an integer comparison is exposed
+(ECDSA's r <= R.x output, ops/ecdsa.py).
 
 Like the reference's gadgets (curve.rs:181-197 "add assuming p != q"),
 point addition is INCOMPLETE: honest witnesses never hit x1 == x2 thanks to
@@ -19,9 +29,10 @@ from dataclasses import dataclass
 from typing import List, Tuple
 
 from ..circuit.builder import CircuitBuilder
-from .bigint import (BigUintTarget, big_add, big_assert_eq, big_assert_le,
-                     big_constant, big_from_vars, big_mul, big_value_hint,
-                     limbs_of_int, LIMB_BITS)
+from .bigint import (BigUintTarget, LIMB_BITS, assert_col_identity, big_add,
+                     big_assert_eq, big_assert_le, big_constant,
+                     big_from_vars, big_mul, big_value_hint, limbs_of_int,
+                     _limb_cols, _mul_cols, _mul_const_cols)
 
 NLIMBS = 16  # 256 bits
 
@@ -34,7 +45,8 @@ GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
 
 @dataclass
 class NNTarget:
-    """Nonnative field element mod `modulus`: a normalized BigUint < mod."""
+    """Nonnative field element mod `modulus`: a 16-limb BigUint congruent
+    to the value (weakly normalized, < 2^256)."""
     big: BigUintTarget
     modulus: int
 
@@ -49,11 +61,31 @@ def nn_constant(b: CircuitBuilder, v: int, modulus: int = Q) -> NNTarget:
     return NNTarget(big_constant(b, v % modulus, NLIMBS), modulus)
 
 
+def _rhs_km_r(b: CircuitBuilder, k: BigUintTarget, r, modulus: int,
+              const: int = 0) -> List[list]:
+    """Columns of k*modulus + r (+ const), modulus constant, r a
+    BigUintTarget or None."""
+    m_limbs = limbs_of_int(modulus, NLIMBS)
+    cols = _mul_const_cols(m_limbs, k)
+    if r is not None:
+        for i, ri in enumerate(r.limbs):
+            while len(cols) <= i:
+                cols.append([])
+            cols[i].append(("l", 1, ri))
+    if const:
+        for i, cv in enumerate(limbs_of_int(const, NLIMBS)):
+            if cv:
+                while len(cols) <= i:
+                    cols.append([])
+                cols[i].append(("l", cv, b.one))
+    return cols
+
+
 def nn_from_big(b: CircuitBuilder, big: BigUintTarget, modulus: int = Q,
                 reduce: bool = True) -> NNTarget:
-    """Wrap a BigUint as a field element, reducing mod `modulus` via the
-    hint+check pattern if requested."""
-    if not reduce:
+    """Wrap a BigUint as a field element; certificate big = k*m + r
+    (hint+check, nonnative.rs reduce analog)."""
+    if not reduce and big.num_limbs() == NLIMBS:
         return NNTarget(big, modulus)
     m = modulus
     nk = max(1, big.num_limbs() - NLIMBS + 1)
@@ -65,15 +97,13 @@ def nn_from_big(b: CircuitBuilder, big: BigUintTarget, modulus: int = Q,
     outs = b.hint(list(big.limbs), nk + NLIMBS, fn)
     k = big_from_vars(b, outs[:nk])
     r = big_from_vars(b, outs[nk:])
-    # big == k*m + r  and  r <= m-1
-    km = big_mul(b, k, big_constant(b, m, NLIMBS))
-    big_assert_eq(b, big_add(b, km, r), big)
-    big_assert_le(b, r, big_constant(b, m - 1, NLIMBS))
+    assert_col_identity(b, _limb_cols(big), _rhs_km_r(b, k, r, m))
     return NNTarget(r, m)
 
 
 def nn_mul(b: CircuitBuilder, x: NNTarget, y: NNTarget) -> NNTarget:
-    """r = x*y mod m via certificate x*y = k*m + r (nonnative.rs:312-341)."""
+    """r = x*y mod m via certificate x*y = k*m + r (nonnative.rs:312-341),
+    one balanced column identity."""
     m = x.modulus
     assert y.modulus == m
 
@@ -86,54 +116,70 @@ def nn_mul(b: CircuitBuilder, x: NNTarget, y: NNTarget) -> NNTarget:
     outs = b.hint(list(x.big.limbs) + list(y.big.limbs), 2 * NLIMBS + 1, fn)
     k = big_from_vars(b, outs[:NLIMBS + 1])
     r = big_from_vars(b, outs[NLIMBS + 1:])
-    lhs = big_mul(b, x.big, y.big)
-    rhs = big_add(b, big_mul(b, k, big_constant(b, m, NLIMBS)), r)
-    big_assert_eq(b, lhs, rhs)
-    big_assert_le(b, r, big_constant(b, m - 1, NLIMBS))
+    assert_col_identity(b, _mul_cols(x.big, y.big), _rhs_km_r(b, k, r, m))
     return NNTarget(r, m)
 
 
 def nn_mul_const(b: CircuitBuilder, x: NNTarget, c: int) -> NNTarget:
-    return nn_mul(b, x, nn_constant(b, c % x.modulus, x.modulus))
+    """r = c*x mod m: certificate c*x = k*m + r with constant c."""
+    m = x.modulus
+    c %= m
+
+    def fn(vals):
+        xv = big_value_hint(vals, NLIMBS)
+        p = c * xv
+        return limbs_of_int(p // m, NLIMBS + 1) + limbs_of_int(p % m, NLIMBS)
+
+    outs = b.hint(list(x.big.limbs), 2 * NLIMBS + 1, fn)
+    k = big_from_vars(b, outs[:NLIMBS + 1])
+    r = big_from_vars(b, outs[NLIMBS + 1:])
+    assert_col_identity(b, _mul_const_cols(limbs_of_int(c, NLIMBS), x.big),
+                        _rhs_km_r(b, k, r, m))
+    return NNTarget(r, m)
 
 
 def _linear_mod(b: CircuitBuilder, terms: List[Tuple[int, NNTarget]],
                 modulus: int) -> NNTarget:
     """r = sum(sign_i * x_i) mod m for sign in {+1,-1}: certificate
-    sum(pos) + k*m = sum(neg) + r with small k (covers add_mod/sub_mod)."""
+    sum(pos) + |neg|*m = sum(neg) + k*m + r with small k."""
     pos = [x for s, x in terms if s > 0]
     neg = [x for s, x in terms if s < 0]
     m = modulus
-    kmax_limbs = 1
 
     def fn(vals):
         vs = [big_value_hint(vals[i * NLIMBS:(i + 1) * NLIMBS], NLIMBS)
               for i in range(len(terms))]
-        total = 0
+        total = len(neg) * m
         for (s, _), v in zip(terms, vs):
             total += s * v
         r = total % m
-        k = (total - r) // m  # may be negative
-        # rewrite: sum(pos) = k*m + r ; with negs moved: sum(pos) =
-        # sum(neg) + k'*m + r where k' >= 0 because we add |neg|*m slack
-        kp = k + len(neg)
-        return limbs_of_int(kp, kmax_limbs) + limbs_of_int(r, NLIMBS)
+        k = (total - r) // m
+        assert k >= 0
+        return [k] + limbs_of_int(r, NLIMBS)
 
     inp = []
     for _, x in terms:
         inp.extend(x.big.limbs)
-    outs = b.hint(inp, kmax_limbs + NLIMBS, fn)
-    k = big_from_vars(b, outs[:kmax_limbs])
-    r = big_from_vars(b, outs[kmax_limbs:])
-    big_assert_le(b, r, big_constant(b, m - 1, NLIMBS))
-    # lhs = sum(pos) + len(neg)*m ; rhs = sum(neg) + k*m + r
-    lhs = big_constant(b, len(neg) * m, NLIMBS + 1)
+    outs = b.hint(inp, 1 + NLIMBS, fn)
+    kv = outs[0]
+    # k < #terms + |neg| (tiny); a 16-bit bound is plenty
+    b.range_check(kv, LIMB_BITS)
+    k = BigUintTarget([kv])
+    r = big_from_vars(b, outs[1:])
+    lhs = [[] for _ in range(NLIMBS)]
+    for i, cv in enumerate(limbs_of_int(len(neg) * m, NLIMBS + 1)):
+        if cv:
+            while len(lhs) <= i:
+                lhs.append([])
+            lhs[i].append(("l", cv, b.one))
     for x in pos:
-        lhs = big_add(b, lhs, x.big)
-    rhs = big_add(b, big_mul(b, k, big_constant(b, m, NLIMBS)), r)
+        for i, xi in enumerate(x.big.limbs):
+            lhs[i].append(("l", 1, xi))
+    rhs = _rhs_km_r(b, k, r, m)
     for x in neg:
-        rhs = big_add(b, rhs, x.big)
-    big_assert_eq(b, lhs, rhs)
+        for i, xi in enumerate(x.big.limbs):
+            rhs[i].append(("l", 1, xi))
+    assert_col_identity(b, lhs, rhs)
     return NNTarget(r, m)
 
 
@@ -146,28 +192,91 @@ def nn_sub(b, x: NNTarget, y: NNTarget) -> NNTarget:
 
 
 def nn_inv(b: CircuitBuilder, x: NNTarget) -> NNTarget:
-    """r = x^-1 mod m: hint + check x*r == 1 (nonnative.rs:365-389)."""
+    """r = x^-1 mod m: certificate x*r = k*m + 1 (nonnative.rs:365-389)."""
     m = x.modulus
 
     def fn(vals):
         xv = big_value_hint(vals, NLIMBS) % m
-        return limbs_of_int(pow(xv, -1, m) if xv else 0, NLIMBS)
+        rv = pow(xv, -1, m) if xv else 0
+        p = big_value_hint(vals, NLIMBS) * rv
+        return limbs_of_int(rv, NLIMBS) + limbs_of_int(p // m, NLIMBS + 1)
 
-    outs = b.hint(list(x.big.limbs), NLIMBS, fn)
-    r = NNTarget(big_from_vars(b, outs), m)
-    prod = nn_mul(b, x, r)
-    big_assert_eq(b, prod.big, big_constant(b, 1, NLIMBS))
-    return r
+    outs = b.hint(list(x.big.limbs), NLIMBS + NLIMBS + 1, fn)
+    r = big_from_vars(b, outs[:NLIMBS])
+    k = big_from_vars(b, outs[NLIMBS:])
+    assert_col_identity(b, _mul_cols(x.big, r),
+                        _rhs_km_r(b, k, None, m, const=1))
+    return NNTarget(r, m)
 
 
 def nn_select(b: CircuitBuilder, bit: int, x: NNTarget, y: NNTarget) -> NNTarget:
-    limbs = [b.select(bit, xi, yi) for xi, yi in zip(x.big.limbs, y.big.limbs)]
+    limbs = b.select_vec(bit, x.big.limbs, y.big.limbs)
     return NNTarget(BigUintTarget(limbs), x.modulus)
+
+
+def nn_assert_canonical(b: CircuitBuilder, x: NNTarget):
+    """x.big <= m-1: needed only where integer comparisons are exposed."""
+    big_assert_le(b, x.big, big_constant(b, x.modulus - 1, NLIMBS))
 
 
 def point_select(b, bit: int, p1: PointTarget, p2: PointTarget) -> PointTarget:
     return PointTarget(nn_select(b, bit, p1.x, p2.x),
                        nn_select(b, bit, p1.y, p2.y))
+
+
+def _onehot(b: CircuitBuilder, bits: List[int]) -> List[int]:
+    """2^len(bits) indicator vars from boolean-constrained bits (LSB-first
+    index encoding) — the wide-gate equivalent of the reference's
+    random_access index decomposition (glv.rs:339-384)."""
+    oh = [b.one]
+    for bit in bits:
+        t = [b.mul(o, bit) for o in oh]
+        oh = [b.sub(o, x) for o, x in zip(oh, t)] + t
+    return oh
+
+
+def _mux_points(b: CircuitBuilder, oh: List[int],
+                pts: List[PointTarget]) -> PointTarget:
+    """sum_j oh_j * pts_j per limb (one-hot weighted dot rows).  Selected
+    limbs inherit the table limbs' range bounds (oh is provably one-hot),
+    so no re-range-checking is needed."""
+    def mux_limbs(limbs_of):
+        out = []
+        for li in range(NLIMBS):
+            terms = [(1, oh[j], limbs_of(j)[li]) for j in range(len(pts))]
+            acc = None
+            while terms:
+                chunk = terms[:7]
+                terms = terms[7:]
+                lin = [(1, acc)] if acc is not None else []
+                nv = b.new_derived()
+                b.dot_row(chunk, lin, 0, nv)
+                acc = nv
+            out.append(acc)
+        return out
+
+    m = pts[0].x.modulus
+    return PointTarget(
+        NNTarget(BigUintTarget(mux_limbs(lambda j: pts[j].x.big.limbs)), m),
+        NNTarget(BigUintTarget(mux_limbs(lambda j: pts[j].y.big.limbs)), m))
+
+
+def _mux_const_points(b: CircuitBuilder, oh: List[int],
+                      pts_xy: List[Tuple[int, int]]) -> PointTarget:
+    """sum_j oh_j * (constant point)_j: pure linear rows per limb."""
+    def mux_limbs(coord):
+        out = []
+        for li in range(NLIMBS):
+            terms = []
+            for j, xy in enumerate(pts_xy):
+                cv = (xy[coord] >> (LIMB_BITS * li)) & ((1 << LIMB_BITS) - 1)
+                if cv:
+                    terms.append((cv, oh[j]))
+            out.append(b.lincomb(terms) if terms else b.zero)
+        return out
+
+    return PointTarget(NNTarget(BigUintTarget(mux_limbs(0)), Q),
+                       NNTarget(BigUintTarget(mux_limbs(1)), Q))
 
 
 def point_constant(b, xy: Tuple[int, int]) -> PointTarget:
@@ -195,7 +304,7 @@ def point_add(b: CircuitBuilder, p: PointTarget, q: PointTarget) -> PointTarget:
     dy = nn_sub(b, q.y, p.y)
     big_assert_eq(b, nn_mul(b, s, dx).big, dy.big)
     s2 = nn_mul(b, s, s)
-    x3 = nn_sub(b, nn_sub(b, s2, p.x), q.x)
+    x3 = _linear_mod(b, [(1, s2), (-1, p.x), (-1, q.x)], m)
     y3 = nn_sub(b, nn_mul(b, s, nn_sub(b, p.x, x3)), p.y)
     return PointTarget(x3, y3)
 
@@ -213,22 +322,23 @@ def point_double(b: CircuitBuilder, p: PointTarget) -> PointTarget:
     outs = b.hint(list(p.x.big.limbs) + list(p.y.big.limbs), NLIMBS, slope_fn)
     s = NNTarget(big_from_vars(b, outs), m)
     x2 = nn_mul(b, p.x, p.x)
-    two_y = nn_add(b, p.y, p.y)
+    two_y = _linear_mod(b, [(1, p.y), (1, p.y)], m)
     three_x2 = _linear_mod(b, [(1, x2), (1, x2), (1, x2)], m)
     big_assert_eq(b, nn_mul(b, s, two_y).big, three_x2.big)
     s2 = nn_mul(b, s, s)
-    x3 = nn_sub(b, nn_sub(b, s2, p.x), p.x)
+    x3 = _linear_mod(b, [(1, s2), (-1, p.x), (-1, p.x)], m)
     y3 = nn_sub(b, nn_mul(b, s, nn_sub(b, p.x, x3)), p.y)
     return PointTarget(x3, y3)
 
 
 def point_assert_on_curve(b: CircuitBuilder, p: PointTarget):
-    """y^2 == x^3 + 7 (curve.rs:118-130)."""
+    """y^2 == x^3 + 7 (curve.rs:118-130): y^2 - x*(x^2) certificate via two
+    muls and a linear identity."""
     y2 = nn_mul(b, p.y, p.y)
     x2 = nn_mul(b, p.x, p.x)
     x3 = nn_mul(b, x2, p.x)
-    rhs = nn_add(b, x3, nn_constant(b, 7))
-    big_assert_eq(b, y2.big, rhs.big)
+    diff = _linear_mod(b, [(1, y2), (-1, x3)], p.x.modulus)
+    big_assert_eq(b, diff.big, big_constant(b, 7, NLIMBS))
 
 
 def _add_const(p1, p2):
@@ -281,6 +391,42 @@ def scalar_mul(b: CircuitBuilder, p: PointTarget, scalar_bits: List[int],
     return point_add(b, acc, point_constant(b, neg_unblind))
 
 
+def windowed_scalar_mul(b: CircuitBuilder, p: PointTarget,
+                        scalar_bits: List[int], window: int = 4,
+                        blind: Tuple[int, int] = None) -> PointTarget:
+    """Variable-base windowed double-and-add: an in-circuit table of the
+    first 2^w multiples of p (offset by the blinding point so entry 0 is
+    not the identity), one add per window, w doubles between windows —
+    the variable-base analog of the reference's GLV windowed MSM
+    (glv.rs:175-255)."""
+    nb = len(scalar_bits)
+    blind = blind or D_POINT
+    dpt = point_constant(b, blind)
+    # table[j] = j*p + D
+    table = [dpt]
+    for j in range(1, 1 << window):
+        table.append(point_add(b, table[-1], p))
+    acc = point_constant(b, blind)
+    num_windows = 0
+    for w0 in range(((nb + window - 1) // window) * window - window, -1,
+                    -window):
+        bits = scalar_bits[w0:w0 + window]
+        if num_windows > 0:
+            for _ in range(window):
+                acc = point_double(b, acc)
+        oh = _onehot(b, bits)
+        acc = point_add(b, acc, _mux_points(b, oh, table[:1 << len(bits)]))
+        num_windows += 1
+    # accumulated blinding: seed D plus one D per window, all doubled
+    # along: off_k = 2^window * off_{k-1} + 1 with off_1 = 2 (seed + first)
+    off = 2
+    for _ in range(num_windows - 1):
+        off = (off << window) + 1
+    offset = _mult(off % N_SCALAR, blind)
+    neg = (offset[0], (Q - offset[1]) % Q)
+    return point_add(b, acc, point_constant(b, neg))
+
+
 def fixed_base_mul(b: CircuitBuilder, point_xy: Tuple[int, int],
                    scalar_bits: List[int], window: int = 4) -> PointTarget:
     """Fixed-base windowed scalar mul (no in-circuit doublings; the
@@ -298,14 +444,9 @@ def fixed_base_mul(b: CircuitBuilder, point_xy: Tuple[int, int],
         for j in range(1 << len(bits)):
             pt = _mult(j, base)
             table.append(_add_const(pt, D_POINT))
-        cur = [point_constant(b, t) for t in table]
-        for bit in bits:
-            cur = [point_select(b, bit, cur[2 * i + 1], cur[2 * i])
-                   for i in range(len(cur) // 2)]
-        acc = point_add(b, acc, cur[0])
+        oh = _onehot(b, bits)
+        acc = point_add(b, acc, _mux_const_points(b, oh, table))
         num_windows += 1
     offset = _mult(num_windows + 1, D_POINT)
     neg = (offset[0], (Q - offset[1]) % Q)
     return point_add(b, acc, point_constant(b, neg))
-
-

@@ -37,10 +37,11 @@ class QueryRound:
 
 @dataclass
 class Openings:
-    constants_sigmas: List[Ext]    # 14
-    wires: List[Ext]               # NUM_WIRES
-    z: List[Ext]                   # 2 (base components of ext Z)
-    z_next: List[Ext]              # 2, opened at g*zeta
+    constants_sigmas: List[Ext]    # NUM_SELECTORS + W (+1 table)
+    wires: List[Ext]               # W (+1 multiplicity)
+    z: List[Ext]                   # 2 per round-2 ext column (Z, partials,
+                                   # lookup helpers, h_T, S)
+    z_next: List[Ext]              # same columns, opened at g*zeta
     quotient: List[Ext]            # 2 * num_chunks
 
     def ordered(self) -> List[Ext]:
@@ -73,4 +74,5 @@ class VerifyingKey:
     num_queries: int
     pow_bits: int
     final_poly_domain: int
+    lookup_bits: int = 0           # 0 = circuit carries no lookup argument
     constants_cap: List[Digest] = field(default_factory=list)

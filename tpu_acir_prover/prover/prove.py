@@ -8,12 +8,29 @@ drives the Fiat-Shamir transcript between phases; every phase is ONE jitted
 XLA program (cached on the ProvingKey), with challenges passed as traced
 scalars so recompilation never happens across proofs.
 
-Proof relation (PLONK over Goldilocks, W routed wires, one universal gate):
+Proof relation (PLONK over Goldilocks, W routed wires, one wide universal
+gate + LogUp lookups; see circuit/builder.py for the row semantics):
 
-  gate:   qM*w0*w1 + sum_i qi*wi + qC + PI(x) = 0        on H
-  perm:   L_1(x)*(Z(x)-1) = 0
-          Z(x)*prod_i(w_i + B*k_i*x + G) = Z(gx)*prod_i(w_i + B*sigma_i + G)
-  t(x) = sum_j alpha^j c_j(x) / (x^n - 1), committed in W chunks.
+  gate:   sum_j qM_j*w_{2j}*w_{2j+1} + sum_i qi*wi + qC + PI(x) = 0   on H
+  perm:   L_1(x)*(Z(x)-1) = 0, and with the W factor terms split into
+          groups of <= PERM_GROUP (keeping each constraint at degree <= 7,
+          the rate-8 LDE budget; plonky2 calls these partial products):
+            Z*N_1 - B_1*D_1 = 0
+            B_{j-1}*N_j - B_j*D_j = 0
+            B_{K-1}*N_K - Z(gx)*D_K = 0
+          where N_g = prod_{i in g} (w_i + B*k_i*x + G),
+                D_g = prod_{i in g} (w_i + B*sigma_i + G).
+  lookup (LogUp, only when the circuit carries lookup rows):
+          for each helper group hg (<= LOOKUP_GROUP wires):
+            h_g * prod_{i in hg} (lam - w_i)
+              = qLK * sum_{i in hg} prod_{k != i} (lam - w_k)
+          h_T * (lam - T) = 1
+          S(gx) - S(x) - sum_g h_g + mult * h_T = 0
+          L_1(x) * S(x) = 0
+          (the cyclic wrap of the S recurrence forces
+           sum_rows sum_slots 1/(lam - w) = sum_rows mult/(lam - T),
+           i.e. every looked-up value appears in the table)
+  t(x) = sum_j alpha^j c_j(x) / (x^n - 1), committed in NUM_CHUNKS chunks.
 """
 
 from __future__ import annotations
@@ -23,6 +40,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from ..circuit.builder import (NUM_PAIRS, NUM_SELECTORS, NUM_WIRES, SEL_QLK,
+                               lookup_groups, perm_groups)
 from ..circuit.compile import CompiledCircuit, powers_u64
 from ..field import gl as _gl
 from ..field.ext import make_ext, e_add, e_mul, e_pow
@@ -35,6 +54,8 @@ from .merkle import MerkleTree
 from .ntt import coset_intt, coset_lde, intt
 from .proof import (Openings, OracleOpening, Proof, QueryRound, FriStep,
                     VerifyingKey)
+
+NUM_CHUNKS = 6  # quotient degree < 6n for constraint degree <= 7 at rate 8
 
 
 def _default_xp():
@@ -93,6 +114,11 @@ def _ext_arg(v: Tuple[int, int]):
             np.uint32(v[1] & 0xFFFFFFFF), np.uint32(v[1] >> 32))
 
 
+def _ext_scal(G, a0, a1, a2, a3):
+    """4 traced u32 scalars -> broadcastable ext value."""
+    return ((_scal(G, a0), _scal(G, a1)), (_scal(G, a2), _scal(G, a3)))
+
+
 @dataclass
 class Oracle:
     """A committed polynomial batch: coeffs + LDE values + Merkle tree."""
@@ -101,49 +127,79 @@ class Oracle:
     tree: MerkleTree
 
 
+def _ext_zeros(xp, n):
+    z = xp.zeros((n,), xp.uint32)
+    return ((z, z), (z, z))
+
+
 def _ext_ones(xp, n):
     return ((xp.ones((n,), xp.uint32), xp.zeros((n,), xp.uint32)),
             (xp.zeros((n,), xp.uint32), xp.zeros((n,), xp.uint32)))
 
 
-def perm_factor_products(G, E, is_jax, wires, sigmas, xpair, k_dev,
-                         beta_d, gamma_d):
-    """prod_i (w_i + B k_i x + G) and prod_i (w_i + B sigma_i + G), as a
-    scan over the W wire columns (compact jaxpr; python loop on numpy).
+def batch_inv_ext(E, vals):
+    """Montgomery batch inversion of a list of (n,)-shaped ext vectors:
+    one Fermat inversion + 3(len-1) multiplications."""
+    if len(vals) == 1:
+        return [E.inv(vals[0])]
+    prefix = [vals[0]]
+    for v in vals[1:]:
+        prefix.append(E.mul(prefix[-1], v))
+    inv_total = E.inv(prefix[-1])
+    outs = [None] * len(vals)
+    for i in range(len(vals) - 1, 0, -1):
+        outs[i] = E.mul(inv_total, prefix[i - 1])
+        inv_total = E.mul(inv_total, vals[i])
+    outs[0] = inv_total
+    return outs
 
-    wires/sigmas: (n, W) pairs; k_dev: (W,) pair; returns (num, den) ext."""
+
+def perm_group_products(G, E, wires, sigmas, xpair, k_dev, beta_d, gamma_d,
+                        groups):
+    """Per-group (N_g, D_g) products of the permutation factors
+    (w_i + B k_i x + G) / (w_i + B sigma_i + G).
+
+    wires/sigmas: (n, W) pairs; k_dev: (W,) pair; returns two lists of ext
+    vectors, one entry per group."""
     wlo, whi = wires
     slo, shi = sigmas
-    n, W = wlo.shape
+    n = wlo.shape[0]
 
     def factor(wcol, kx):
         return (G.add(G.add(wcol, G.mul(beta_d[0], kx)), gamma_d[0]),
                 G.add(G.mul(beta_d[1], kx), gamma_d[1]))
 
-    if not is_jax:
+    nums, dens = [], []
+    for (s, e) in groups:
         num = den = None
-        for i in range(W):
+        for i in range(s, e):
             kx = G.mul(xpair, (k_dev[0][i:i + 1], k_dev[1][i:i + 1]))
             f_num = factor((wlo[:, i], whi[:, i]), kx)
             f_den = factor((wlo[:, i], whi[:, i]), (slo[:, i], shi[:, i]))
             num = f_num if num is None else E.mul(num, f_num)
             den = f_den if den is None else E.mul(den, f_den)
-        return num, den
+        nums.append(num)
+        dens.append(den)
+    return nums, dens
 
-    from jax import lax
 
-    def body(carry, xs):
-        num, den = carry
-        wl, wh, sl, sh, kl, kh = xs
-        kx = G.mul(xpair, (kl.reshape(1), kh.reshape(1)))
-        f_num = factor((wl, wh), kx)
-        f_den = factor((wl, wh), (sl, sh))
-        return (E.mul(num, f_num), E.mul(den, f_den)), None
-
-    init = (_ext_ones(G.xp, n), _ext_ones(G.xp, n))
-    xs = (wlo.T, whi.T, slo.T, shi.T, k_dev[0], k_dev[1])
-    (num, den), _ = lax.scan(body, init, xs)
-    return num, den
+def lookup_helper_terms(G, E, wires, lam_d, qlk, groups):
+    """Per-helper-group values h_g = qLK * sum_{i in g} 1/(lam - w_i).
+    wires: (n, W) pair, qlk: (n,) base pair, returns a list of ext vecs."""
+    wlo, whi = wires
+    facs = []  # all (lam - w_i)
+    for i in range(wlo.shape[1]):
+        facs.append(E.sub(lam_d, ((wlo[:, i], whi[:, i]),
+                                  (G.xp.zeros_like(wlo[:, i]),
+                                   G.xp.zeros_like(wlo[:, i])))))
+    invs = batch_inv_ext(E, facs)
+    hs = []
+    for (s, e) in groups:
+        acc = invs[s]
+        for i in range(s + 1, e):
+            acc = E.add(acc, invs[i])
+        hs.append((G.mul(acc[0], qlk), G.mul(acc[1], qlk)))
+    return hs
 
 
 def prefix_product_ext(G, E, is_jax, ratio, log_n: int):
@@ -185,26 +241,72 @@ def prefix_product_ext(G, E, is_jax, ratio, log_n: int):
     return lax.fori_loop(0, log_n, body, ratio)
 
 
-def gate_lincomb(G, is_jax, q_cols, w_cols):
-    """sum_i q_i * w_i over the W wire columns (scan on jax)."""
+def prefix_sum_ext(G, E, is_jax, vals, log_n: int):
+    """Inclusive prefix sum of an ext vector (Hillis-Steele adds)."""
+    xp = G.xp
+    n = vals[0][0].shape[0]
+    if not is_jax:
+        acc = vals
+        d = 1
+        while d < n:
+            zl = xp.zeros((d,), dtype=xp.uint32)
+
+            def sh(comp):
+                return (xp.concatenate([zl, comp[0][:-d]]),
+                        xp.concatenate([zl, comp[1][:-d]]))
+
+            acc = E.add(acc, (sh(acc[0]), sh(acc[1])))
+            d *= 2
+        return acc
+
+    import jax.numpy as jnp
+    from jax import lax
+    iota = lax.iota(jnp.int32, n)
+
+    def body(s, acc):
+        d = jnp.int32(1) << s
+
+        def sh(comp):
+            rl = jnp.roll(comp[0], d)
+            rh = jnp.roll(comp[1], d)
+            mask = iota < d
+            return (jnp.where(mask, jnp.uint32(0), rl),
+                    jnp.where(mask, jnp.uint32(0), rh))
+
+        return E.add(acc, (sh(acc[0]), sh(acc[1])))
+
+    return lax.fori_loop(0, log_n, body, vals)
+
+
+def _shift_one(xp, comp, fill_one=False):
+    """Prepend [1 or 0] and drop the last element of a (n,) base pair."""
+    o1 = xp.ones((1,), dtype=xp.uint32) if fill_one else \
+        xp.zeros((1,), dtype=xp.uint32)
+    z1 = xp.zeros((1,), dtype=xp.uint32)
+    return (xp.concatenate([o1, comp[0][:-1]]),
+            xp.concatenate([z1, comp[1][:-1]]))
+
+
+def gate_eval(G, q_cols, w_cols):
+    """sum_j qM_j*w_{2j}*w_{2j+1} + sum_i q_i*w_i + qC on (n, C) matrices.
+    q_cols: (n, NUM_SELECTORS) pair; w_cols: (n, W) pair."""
     qlo, qhi = q_cols
     wlo, whi = w_cols
-    n, W = wlo.shape
-    if not is_jax:
-        acc = None
-        for i in range(W):
-            t = G.mul((qlo[:, i], qhi[:, i]), (wlo[:, i], whi[:, i]))
-            acc = t if acc is None else G.add(acc, t)
-        return acc
-    from jax import lax
+    W = wlo.shape[1]
+    npair = W // 2
 
-    def body(acc, xs):
-        ql, qh, wl, wh = xs
-        return G.add(acc, G.mul((ql, qh), (wl, wh))), None
+    def col(mlo, mhi, j):
+        return (mlo[:, j], mhi[:, j])
 
-    z = G.xp.zeros((n,), G.xp.uint32)
-    acc, _ = lax.scan(body, (z, z), (qlo.T, qhi.T, wlo.T, whi.T))
-    return acc
+    acc = None
+    for j in range(npair):
+        t = G.mul(G.mul(col(qlo, qhi, j), col(wlo, whi, 2 * j)),
+                  col(wlo, whi, 2 * j + 1))
+        acc = t if acc is None else G.add(acc, t)
+    for i in range(W):
+        t = G.mul(col(qlo, qhi, npair + i), col(wlo, whi, i))
+        acc = G.add(acc, t)
+    return G.add(acc, col(qlo, qhi, npair + W))
 
 
 def ext_combo_columns(G, E, is_jax, mat, alphas_dev):
@@ -235,6 +337,12 @@ def ext_combo_columns(G, E, is_jax, mat, alphas_dev):
     return acc
 
 
+def _ecol(mlo, mhi, t):
+    """Ext column t of an interleaved (n, 2*Cext) base matrix."""
+    return ((mlo[:, 2 * t], mhi[:, 2 * t]),
+            (mlo[:, 2 * t + 1], mhi[:, 2 * t + 1]))
+
+
 class ProvingKey:
     """Device-resident preprocessed data + jitted phase programs for one
     compiled circuit — the analog of plonky2 ProverCircuitData, built ONCE
@@ -254,11 +362,23 @@ class ProvingKey:
         n = compiled.n
         self.n = n
         self.m = n << config.rate_bits
-        self.num_chunks = len(compiled.k_shifts)
+        self.num_chunks = NUM_CHUNKS
+        W = len(compiled.k_shifts)
+        self.W = W
+        self.has_lookups = compiled.lookup_bits > 0
+        self.perm_groups = perm_groups(W)
+        self.lk_groups = lookup_groups(W) if self.has_lookups else []
+        self.K = len(self.perm_groups)
+        self.nh = len(self.lk_groups)
+        # z-oracle ext columns: [Z, B_1..B_{K-1}, (h_1..h_nh, h_T, S)]
+        self.num_z_ext = self.K + ((self.nh + 2) if self.has_lookups else 0)
 
         G = self.G
-        # preprocessed oracle: [qM, q0..q5, qC, sigma_0..sigma_5]
-        pre = np.concatenate([compiled.selectors, compiled.sigma], axis=0).T
+        # preprocessed oracle: [selectors, sigma_0..sigma_{W-1}, table?]
+        cols = [compiled.selectors, compiled.sigma]
+        if self.has_lookups:
+            cols.append(compiled.table.reshape(1, n))
+        pre = np.concatenate(cols, axis=0).T
         pre_dev = _mat_to_dev(G, pre)
         self.constants_oracle = self.commit(pre_dev)
 
@@ -280,14 +400,21 @@ class ProvingKey:
                                          self.m // rate))
         self.sigma_dev = _mat_to_dev(G, compiled.sigma.T)
         self.k_dev = _to_dev(G, np.array(compiled.k_shifts, dtype=np.uint64))
+        if self.has_lookups:
+            self.table_dev = _to_dev(G, compiled.table)
+            self.qlk_dev = _to_dev(G, compiled.selectors[SEL_QLK])
+        self.num_constraints = 2 + self.K + \
+            ((self.nh + 3) if self.has_lookups else 0)
 
         self.vk = VerifyingKey(
-            log_n=compiled.log_n, num_wires=len(compiled.k_shifts),
+            log_n=compiled.log_n, num_wires=W,
             num_public_inputs=compiled.num_public_inputs,
             k_shifts=compiled.k_shifts, num_quotient_chunks=self.num_chunks,
             rate_bits=config.rate_bits, cap_height=config.cap_height,
             num_queries=config.num_queries, pow_bits=config.pow_bits,
-            final_poly_domain=config.final_poly_domain,
+            # tiny traces: never fold below the LDE itself
+            final_poly_domain=min(config.final_poly_domain, self.m),
+            lookup_bits=compiled.lookup_bits,
             constants_cap=[tuple(int(x) for x in d)
                            for d in self.constants_oracle.tree.cap_u64()],
         )
@@ -341,92 +468,219 @@ class ProvingKey:
             size //= 2
         return levels
 
-    def z_phase(self, wires_dev, beta, gamma):
-        """Permutation grand product Z (ext): ratio -> prefix product."""
-        G, E = self.G, self.E
-        cc = self.compiled
-        n = self.n
-        W = len(cc.k_shifts)
-        xp = G.xp
+    def round2_phase(self, wires_dev, beta, gamma, lam):
+        """Round-2 committed columns: permutation grand product Z, partial
+        products B_j, and (with lookups) LogUp helpers h_g, h_T and the
+        running sum S.  Returns an (n, 2*num_z_ext) base matrix pair.
 
+        wires_dev: (n, W [+1]) pair — the wires oracle values (m column
+        last when lookups are on)."""
+        G, E = self.G, self.E
+        n = self.n
+        W = self.W
+        xp = G.xp
         is_jax = self.is_jax
+        groups = self.perm_groups
+        lk_groups = self.lk_groups
+        has_lk = self.has_lookups
+        log_n = self.compiled.log_n
 
         def run(wlo, whi, slo, shi, xlo, xhi, klo, khi,
-                b0, b1, b2, b3, g0, g1, g2, g3):
-            beta_d = ((_scal(G, b0), _scal(G, b1)), (_scal(G, b2), _scal(G, b3)))
-            gamma_d = ((_scal(G, g0), _scal(G, g1)), (_scal(G, g2), _scal(G, g3)))
-            num, den = perm_factor_products(G, E, is_jax, (wlo, whi),
-                                            (slo, shi), (xlo, xhi), (klo, khi),
-                                            beta_d, gamma_d)
+                tlo, thi, qlklo, qlkhi,
+                b0, b1, b2, b3, g0, g1, g2, g3, l0, l1, l2, l3):
+            beta_d = _ext_scal(G, b0, b1, b2, b3)
+            gamma_d = _ext_scal(G, g0, g1, g2, g3)
+            wires = (wlo[:, :W], whi[:, :W])
+            nums, dens = perm_group_products(
+                G, E, wires, (slo, shi), (xlo, xhi), (klo, khi),
+                beta_d, gamma_d, groups)
+            num = nums[0]
+            den = dens[0]
+            for t in range(1, len(groups)):
+                num = E.mul(num, nums[t])
+                den = E.mul(den, dens[t])
             ratio = E.mul(num, E.inv(den))
-            acc = prefix_product_ext(G, E, is_jax, ratio, self.compiled.log_n)
-            o1 = xp.ones((1,), dtype=xp.uint32)
-            z1 = xp.zeros((1,), dtype=xp.uint32)
-            z_re = (xp.concatenate([o1, acc[0][0][:-1]]),
-                    xp.concatenate([z1, acc[0][1][:-1]]))
-            z_im = (xp.concatenate([z1, acc[1][0][:-1]]),
-                    xp.concatenate([z1, acc[1][1][:-1]]))
-            return (xp.stack([z_re[0], z_im[0]], axis=1),
-                    xp.stack([z_re[1], z_im[1]], axis=1))
+            acc = prefix_product_ext(G, E, is_jax, ratio, log_n)
+            z = ((_shift_one(xp, acc[0], fill_one=True)),
+                 (_shift_one(xp, acc[1])))
+            ecols = [z]
+            # partial products B_j = Z * prod_{g<=j} N_g/D_g
+            if len(groups) > 1:
+                cum_n = nums[0]
+                cum_d = dens[0]
+                partial_dens = [cum_d]
+                cum_ns = [cum_n]
+                for t in range(1, len(groups) - 1):
+                    cum_n = E.mul(cum_n, nums[t])
+                    cum_d = E.mul(cum_d, dens[t])
+                    cum_ns.append(cum_n)
+                    partial_dens.append(cum_d)
+                inv_dens = batch_inv_ext(E, partial_dens)
+                for cn, idn in zip(cum_ns, inv_dens):
+                    ecols.append(E.mul(z, E.mul(cn, idn)))
+            if has_lk:
+                lam_d = _ext_scal(G, l0, l1, l2, l3)
+                hs = lookup_helper_terms(G, E, wires, lam_d, (qlklo, qlkhi),
+                                         lk_groups)
+                # h_T = 1 / (lam - T)
+                tz = xp.zeros_like(tlo)
+                h_t = E.inv(E.sub(lam_d, ((tlo, thi), (tz, tz))))
+                # m * h_T  (m is the last wires-oracle column)
+                mcol = (wlo[:, W], whi[:, W])
+                mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
+                delta = hs[0]
+                for h in hs[1:]:
+                    delta = E.add(delta, h)
+                delta = E.sub(delta, mh)
+                incl = prefix_sum_ext(G, E, is_jax, delta, log_n)
+                s_col = ((_shift_one(xp, incl[0])), (_shift_one(xp, incl[1])))
+                ecols.extend(hs)
+                ecols.append(h_t)
+                ecols.append(s_col)
+            lo = xp.stack([c for e in ecols for c in (e[0][0], e[1][0])],
+                          axis=1)
+            hi = xp.stack([c for e in ecols for c in (e[0][1], e[1][1])],
+                          axis=1)
+            return lo, hi
 
+        if has_lk:
+            tdev, qdev = self.table_dev, self.qlk_dev
+        else:
+            z = self.G.xp.zeros((n,), self.G.xp.uint32)
+            tdev, qdev = (z, z), (z, z)
+        lam = lam or (0, 0)
         args = (*wires_dev, *self.sigma_dev, *self.x_h, *self.k_dev,
-                *_ext_arg(beta), *_ext_arg(gamma))
-        return self.jit(("z",), run)(*args)
+                *tdev, *qdev,
+                *_ext_arg(beta), *_ext_arg(gamma), *_ext_arg(lam))
+        return self.jit(("round2",), run)(*args)
 
-    def quotient_phase(self, wires_lde, z_lde, pi_vals, beta, gamma, alpha):
+    def quotient_phase(self, wires_lde, z_lde, pi_vals, beta, gamma, lam,
+                       alpha):
         """alpha-combined constraints / Z_H -> quotient coeff columns."""
         G, E = self.G, self.E
         cc = self.compiled
         n, m = self.n, self.m
-        W = len(cc.k_shifts)
+        W = self.W
         nch = self.num_chunks
         rate = self.config.rate
         xp = G.xp
         rate_bits = self.config.rate_bits
         const_lde = self.constants_oracle.lde
-
+        groups = self.perm_groups
+        lk_groups = self.lk_groups
+        has_lk = self.has_lookups
         is_jax = self.is_jax
+        ncons = self.num_constraints
+        alphas = [e_pow(alpha, i) for i in range(ncons)]
+        al = np.array([a[0] & 0xFFFFFFFF for a in alphas], np.uint32)
+        ah = np.array([a[0] >> 32 for a in alphas], np.uint32)
+        il = np.array([a[1] & 0xFFFFFFFF for a in alphas], np.uint32)
+        ih = np.array([a[1] >> 32 for a in alphas], np.uint32)
 
         def run(clo, chi, wlo, whi, zlo, zhi, pilo, pihi, xlo, xhi,
                 klo, khi, zhilo, zhihi, zhlo, zhhi,
-                b0, b1, b2, b3, g0, g1, g2, g3, a0, a1, a2, a3,
-                q0, q1, q2, q3):
-            beta_d = ((_scal(G, b0), _scal(G, b1)), (_scal(G, b2), _scal(G, b3)))
-            gamma_d = ((_scal(G, g0), _scal(G, g1)), (_scal(G, g2), _scal(G, g3)))
-            a1d = ((_scal(G, a0), _scal(G, a1)), (_scal(G, a2), _scal(G, a3)))
-            a2d = ((_scal(G, q0), _scal(G, q1)), (_scal(G, q2), _scal(G, q3)))
+                b0, b1, b2, b3, g0, g1, g2, g3, la0, la1, la2, la3,
+                alr, ahr, ali, ahi_):
+            beta_d = _ext_scal(G, b0, b1, b2, b3)
+            gamma_d = _ext_scal(G, g0, g1, g2, g3)
 
             def col(mlo, mhi, j):
                 return (mlo[:, j], mhi[:, j])
 
+            def base_to_ext(bval):
+                zz = xp.zeros_like(bval[0])
+                return (bval, (zz, zz))
+
+            def a_mul(i, cval):
+                ai = ((alr[i].reshape(1), ahr[i].reshape(1)),
+                      (ali[i].reshape(1), ahi_[i].reshape(1)))
+                return E.mul(ai, cval)
+
             pi_lde = coset_lde(G, intt(G, (pilo.reshape(n, 1),
                                            pihi.reshape(n, 1))), rate_bits)
-            qm = col(clo, chi, 0)
-            gate = G.mul(G.mul(qm, col(wlo, whi, 0)), col(wlo, whi, 1))
-            gate = G.add(gate, gate_lincomb(G, is_jax,
-                                            (clo[:, 1:1 + W], chi[:, 1:1 + W]),
-                                            (wlo, whi)))
-            gate = G.add(gate, col(clo, chi, 1 + W))
+            wires = (wlo[:, :W], whi[:, :W])
+            gate = gate_eval(G, (clo[:, :NUM_SELECTORS], chi[:, :NUM_SELECTORS]),
+                             wires)
             gate = G.add(gate, (pi_lde[0][:, 0], pi_lde[1][:, 0]))
+            c_all = base_to_ext(gate)
 
-            z_ext = (col(zlo, zhi, 0), col(zlo, zhi, 1))
+            z_ext = _ecol(zlo, zhi, 0)
             zg_ext = ((xp.roll(z_ext[0][0], -rate), xp.roll(z_ext[0][1], -rate)),
                       (xp.roll(z_ext[1][0], -rate), xp.roll(z_ext[1][1], -rate)))
-            fnum, fden = perm_factor_products(
-                G, E, is_jax, (wlo, whi),
-                (clo[:, 2 + W:2 + 2 * W], chi[:, 2 + W:2 + 2 * W]),
-                (xlo, xhi), (klo, khi), beta_d, gamma_d)
-            c_trans = E.sub(E.mul(z_ext, fnum), E.mul(zg_ext, fden))
 
             x_minus_1 = G.sub((xlo, xhi), G.const(1, (m,)))
             l1 = G.mul((zhlo, zhhi), G.inv(G.mul_const(x_minus_1, n)))
             one_c = G.const(1, (1,))
             zm1 = (G.sub(z_ext[0], one_c), z_ext[1])
-            c_z1 = (G.mul(l1, zm1[0]), G.mul(l1, zm1[1]))
+            c_all = E.add(c_all, a_mul(1, (G.mul(l1, zm1[0]),
+                                           G.mul(l1, zm1[1]))))
 
-            zeros = xp.zeros_like(gate[0])
-            c_all = E.add((gate, (zeros, zeros)),
-                          E.add(E.mul(a1d, c_z1), E.mul(a2d, c_trans)))
+            sig = (clo[:, NUM_SELECTORS:NUM_SELECTORS + W],
+                   chi[:, NUM_SELECTORS:NUM_SELECTORS + W])
+            nums, dens = perm_group_products(
+                G, E, wires, sig, (xlo, xhi), (klo, khi), beta_d, gamma_d,
+                groups)
+            K = len(groups)
+            # lhs chain: Z, B_1, ..., B_{K-1}, Z(gx)
+            chain = [z_ext] + [_ecol(zlo, zhi, 1 + t) for t in range(K - 1)] \
+                + [zg_ext]
+            for t in range(K):
+                c_t = E.sub(E.mul(chain[t], nums[t]),
+                            E.mul(chain[t + 1], dens[t]))
+                c_all = E.add(c_all, a_mul(2 + t, c_t))
+
+            if has_lk:
+                lam_d = _ext_scal(G, la0, la1, la2, la3)
+                qlk = col(clo, chi, SEL_QLK)
+                tcol = col(clo, chi, NUM_SELECTORS + W)
+                mcol = col(wlo, whi, W)
+                nh = len(lk_groups)
+                base_i = 2 + K
+                # helper constraints
+                facs = []
+                for i in range(W):
+                    facs.append(E.sub(lam_d, base_to_ext(col(wlo, whi, i))))
+                for t, (s, e) in enumerate(lk_groups):
+                    h_g = _ecol(zlo, zhi, K + t)
+                    prod = facs[s]
+                    for i in range(s + 1, e):
+                        prod = E.mul(prod, facs[i])
+                    # sum of products leaving one factor out
+                    rhs = None
+                    for i in range(s, e):
+                        term = None
+                        for k2 in range(s, e):
+                            if k2 == i:
+                                continue
+                            term = facs[k2] if term is None \
+                                else E.mul(term, facs[k2])
+                        if term is None:
+                            term = _ext_ones(xp, m)
+                        rhs = term if rhs is None else E.add(rhs, term)
+                    rhs_s = (G.mul(rhs[0], qlk), G.mul(rhs[1], qlk))
+                    c_h = E.sub(E.mul(h_g, prod), rhs_s)
+                    c_all = E.add(c_all, a_mul(base_i + t, c_h))
+                # h_T * (lam - T) - 1 = 0
+                h_t = _ecol(zlo, zhi, K + nh)
+                c_ht = E.sub(E.mul(h_t, E.sub(lam_d, base_to_ext(tcol))),
+                             _ext_ones(xp, m))
+                c_all = E.add(c_all, a_mul(base_i + nh, c_ht))
+                # S(gx) - S - sum h_g + m*h_T = 0
+                s_ext = _ecol(zlo, zhi, K + nh + 1)
+                sg_ext = ((xp.roll(s_ext[0][0], -rate),
+                           xp.roll(s_ext[0][1], -rate)),
+                          (xp.roll(s_ext[1][0], -rate),
+                           xp.roll(s_ext[1][1], -rate)))
+                c_s = E.sub(sg_ext, s_ext)
+                for t in range(nh):
+                    c_s = E.sub(c_s, _ecol(zlo, zhi, K + t))
+                mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
+                c_s = E.add(c_s, mh)
+                c_all = E.add(c_all, a_mul(base_i + nh + 1, c_s))
+                # L_1 * S = 0
+                c_l1s = (G.mul(l1, s_ext[0]), G.mul(l1, s_ext[1]))
+                c_all = E.add(c_all, a_mul(base_i + nh + 2, c_l1s))
+
             t_lde = (G.mul(c_all[0], (zhilo, zhihi)),
                      G.mul(c_all[1], (zhilo, zhihi)))
             t_re = coset_intt(G, t_lde[0])
@@ -439,13 +693,14 @@ class ProvingKey:
                 [t_im[1][k * n:(k + 1) * n, 0] for k in range(nch)], axis=1)
             return q_lo, q_hi
 
-        alpha2 = e_mul(alpha, alpha)
+        lam = lam or (0, 0)
         pi_dev = _mat_to_dev(G, pi_vals.reshape(n, 1))
         args = (*const_lde, *wires_lde, *z_lde,
                 pi_dev[0].reshape(n), pi_dev[1].reshape(n),
                 *self.x_lde, *self.k_dev, *self.zh_inv_lde, *self.zh_lde,
-                *_ext_arg(beta), *_ext_arg(gamma), *_ext_arg(alpha),
-                *_ext_arg(alpha2))
+                *_ext_arg(beta), *_ext_arg(gamma), *_ext_arg(lam),
+                G.xp.asarray(al), G.xp.asarray(ah),
+                G.xp.asarray(il), G.xp.asarray(ih))
         return self.jit(("quotient",), run)(*args)
 
     def open_at(self, oracle: Oracle, pows):
@@ -465,28 +720,42 @@ class ProvingKey:
         im64 = _from_dev_u64(G, im)
         return [(int(a), int(b)) for a, b in zip(re64, im64)]
 
-    def fri_combine(self, all_lde, alphas, y1, y2, zeta, gzeta, z_lde):
-        """F(x) = sum_i a_i (p_i - y_i)/(x - zeta) + gz terms, on the LDE."""
+    def fri_combine(self, lde_list, alphas, y1, y2, zeta, gzeta, z_lde):
+        """F(x) = sum_i a_i (p_i - y_i)/(x - zeta) + gz terms, on the LDE.
+
+        lde_list: per-oracle (lo, hi) matrix pairs — accumulated one oracle
+        at a time so no concatenated copy of every LDE is materialized
+        (at 2^20 rows that copy alone would be several GB of HBM)."""
         G, E = self.G, self.E
         m = self.m
-        ncols = all_lde[0].shape[1]
+        widths = [p[0].shape[1] for p in lde_list]
+        ncols = sum(widths)
         a_lo_re = np.array([a[0] & 0xFFFFFFFF for a in alphas], np.uint32)
         a_hi_re = np.array([a[0] >> 32 for a in alphas], np.uint32)
         a_lo_im = np.array([a[1] & 0xFFFFFFFF for a in alphas], np.uint32)
         a_hi_im = np.array([a[1] >> 32 for a in alphas], np.uint32)
 
         is_jax = self.is_jax
+        n_oracles = len(lde_list)
 
-        def run(lo, hi, zlo, zhi, xlo, xhi, alr, ahr, ali, ahi_,
-                y1r0, y1r1, y1i0, y1i1, y2r0, y2r1, y2i0, y2i1,
-                ze0, ze1, ze2, ze3, gz0, gz1, gz2, gz3):
+        def run(*args):
+            mats = [(args[2 * i], args[2 * i + 1]) for i in range(n_oracles)]
+            (zlo, zhi, xlo, xhi, alr, ahr, ali, ahi_,
+             y1r0, y1r1, y1i0, y1i1, y2r0, y2r1, y2i0, y2i1,
+             ze0, ze1, ze2, ze3, gz0, gz1, gz2, gz3) = args[2 * n_oracles:]
+
             def combo(mlo, mhi, base):
                 c = mlo.shape[1]
                 sl = slice(base, base + c)
                 return ext_combo_columns(G, E, is_jax, (mlo, mhi),
                                          (alr[sl], ahr[sl], ali[sl], ahi_[sl]))
 
-            acc1 = combo(lo, hi, 0)
+            acc1 = None
+            base = 0
+            for (mlo, mhi) in mats:
+                t = combo(mlo, mhi, base)
+                acc1 = t if acc1 is None else E.add(acc1, t)
+                base += mlo.shape[1]
             y1d = ((_scal(G, y1r0), _scal(G, y1r1)), (_scal(G, y1i0), _scal(G, y1i1)))
             acc1 = E.sub(acc1, y1d)
             zeta_d = ((_scal(G, ze0), _scal(G, ze1)), (_scal(G, ze2), _scal(G, ze3)))
@@ -513,8 +782,11 @@ class ProvingKey:
                u32(y1[1] & 0xFFFFFFFF), u32(y1[1] >> 32))
         y2a = (u32(y2[0] & 0xFFFFFFFF), u32(y2[0] >> 32),
                u32(y2[1] & 0xFFFFFFFF), u32(y2[1] >> 32))
-        return self.jit(("fri_combine", ncols), run)(
-            *all_lde, *z_lde, *self.x_lde,
+        flat = []
+        for p in lde_list:
+            flat.extend(p)
+        return self.jit(("fri_combine", tuple(widths)), run)(
+            *flat, *z_lde, *self.x_lde,
             xp.asarray(a_lo_re), xp.asarray(a_hi_re),
             xp.asarray(a_lo_im), xp.asarray(a_hi_im),
             *y1a, *y2a, *_ext_arg(zeta), *_ext_arg(gzeta))
@@ -605,7 +877,7 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
     cc = pk.compiled
     cfg = pk.config
     n, m = pk.n, pk.m
-    W = len(cc.k_shifts)
+    W = pk.W
 
     # ---- phase 0: witness fill (host, batched limbs) -----------------------
     with timer.phase("witness_fill"):
@@ -614,24 +886,30 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
         bad = cc.check_constraints(vals)
         assert bad is None, f"constraint violated at row {bad}"
     pub_values = cc.public_values(vals)
-    wires_u64 = cc.wire_values(vals).T  # (n, W)
+    wires_mat = cc.wire_values(vals)          # (W, n)
+    if pk.has_lookups:
+        mcol = cc.multiplicities(wires_mat)   # (n,)
+        wires_u64 = np.concatenate([wires_mat, mcol.reshape(1, n)], axis=0).T
+    else:
+        wires_u64 = wires_mat.T               # (n, W)
 
     challenger = Challenger()
     for d in pk.vk.constants_cap:
         challenger.observe_many(d)
     challenger.observe_many(pub_values)
 
-    # ---- phase 1: wire commitment ------------------------------------------
+    # ---- phase 1: wire (+ multiplicity) commitment --------------------------
     with timer.phase("wire_commit"):
         wires_dev = _mat_to_dev(G, wires_u64)
         wires_oracle = pk.commit(wires_dev)
     challenger.observe_cap(wires_oracle.tree.cap_u64())
     beta = challenger.get_ext_challenge()
     gamma = challenger.get_ext_challenge()
+    lam = challenger.get_ext_challenge() if pk.has_lookups else None
 
-    # ---- phase 2: permutation grand product Z ------------------------------
+    # ---- phase 2: Z, partial products, lookup helpers ------------------------
     with timer.phase("permutation_z"):
-        z_mat = pk.z_phase(wires_dev, beta, gamma)
+        z_mat = pk.round2_phase(wires_dev, beta, gamma, lam)
         z_oracle = pk.commit(z_mat)
     challenger.observe_cap(z_oracle.tree.cap_u64())
     alpha = challenger.get_ext_challenge()
@@ -642,12 +920,12 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
         pi_vals[j] = (P - pv) % P
     with timer.phase("quotient"):
         q_cols = pk.quotient_phase(wires_oracle.lde, z_oracle.lde, pi_vals,
-                                   beta, gamma, alpha)
+                                   beta, gamma, lam, alpha)
         quotient_oracle = pk.commit(q_cols, from_coeffs=True)
     challenger.observe_cap(quotient_oracle.tree.cap_u64())
     zeta = challenger.get_ext_challenge()
 
-    # ---- phase 4: openings at zeta (and g*zeta for Z) ------------------------
+    # ---- phase 4: openings at zeta (and g*zeta for the round-2 oracle) -------
     timer_openings = timer.phase("openings")
     timer_openings.__enter__()
     zpow = ext_powers_u64(zeta, n)
@@ -671,26 +949,25 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
     # ---- phase 5: FRI ---------------------------------------------------------
     timer_fri = timer.phase("fri")
     timer_fri.__enter__()
-    xp = G.xp
     oracles = [pk.constants_oracle, wires_oracle, z_oracle, quotient_oracle]
-    all_lde = (xp.concatenate([o.lde[0] for o in oracles], axis=1),
-               xp.concatenate([o.lde[1] for o in oracles], axis=1))
-    ncols = all_lde[0].shape[1]
+    lde_list = [o.lde for o in oracles]
+    ncols = sum(p[0].shape[1] for p in lde_list)
+    zcols = 2 * pk.num_z_ext
     ys = openings.constants_sigmas + openings.wires + openings.z + openings.quotient
-    alphas = [e_pow(fri_alpha, i) for i in range(ncols + 2)]
+    alphas = [e_pow(fri_alpha, i) for i in range(ncols + zcols)]
     y1 = (0, 0)
     for yv, a in zip(ys, alphas[:ncols]):
         y1 = e_add(y1, e_mul(yv, a))
     y2 = (0, 0)
     for yv, a in zip(openings.z_next, alphas[ncols:]):
         y2 = e_add(y2, e_mul(yv, a))
-    F = pk.fri_combine(all_lde, alphas, y1, y2, zeta, gzeta, z_oracle.lde)
+    F = pk.fri_combine(lde_list, alphas, y1, y2, zeta, gzeta, z_oracle.lde)
 
     fri_trees = []
     cur = F
     cur_shift = _gl.MULTIPLICATIVE_GENERATOR
     size = m
-    while size > cfg.final_poly_domain:
+    while size > pk.vk.final_poly_domain:
         h = size // 2
         tree = pk.fri_commit_layer(cur)
         challenger.observe_cap(tree.cap_u64())

@@ -20,7 +20,7 @@ from .proof import (FriStep, Openings, OracleOpening, Proof, QueryRound,
 VK_MAGIC = 0x54505532  # "TPU2"
 PROOF_MAGIC = 0x54505033  # "TPP3"
 COMPRESSED_PROOF_MAGIC = 0x54505043  # "TPPC"
-VERSION = 1
+VERSION = 2  # v2: wide gate (16 wires), partial products, LogUp lookups
 
 
 class _W:
@@ -101,7 +101,8 @@ def serialize_vk(vk: VerifyingKey) -> bytes:
     w.u32(VERSION)
     for v in (vk.log_n, vk.num_wires, vk.num_public_inputs,
               vk.num_quotient_chunks, vk.rate_bits, vk.cap_height,
-              vk.num_queries, vk.pow_bits, vk.final_poly_domain):
+              vk.num_queries, vk.pow_bits, vk.final_poly_domain,
+              vk.lookup_bits):
         w.u32(v)
     w.u32(len(vk.k_shifts))
     for k in vk.k_shifts:
@@ -115,7 +116,7 @@ def deserialize_vk(data: bytes) -> VerifyingKey:
     if r.u32() != VK_MAGIC or r.u32() != VERSION:
         raise ValueError("not a tpu_acir_prover verifying key")
     (log_n, num_wires, num_pub, nch, rate_bits, cap_height, num_queries,
-     pow_bits, final_domain) = (r.u32() for _ in range(9))
+     pow_bits, final_domain, lookup_bits) = (r.u32() for _ in range(10))
     k_shifts = tuple(r.u64() for _ in range(r.u32()))
     cap = r.cap()
     if not r.done():
@@ -124,7 +125,8 @@ def deserialize_vk(data: bytes) -> VerifyingKey:
         log_n=log_n, num_wires=num_wires, num_public_inputs=num_pub,
         k_shifts=k_shifts, num_quotient_chunks=nch, rate_bits=rate_bits,
         cap_height=cap_height, num_queries=num_queries, pow_bits=pow_bits,
-        final_poly_domain=final_domain, constants_cap=cap)
+        final_poly_domain=final_domain, lookup_bits=lookup_bits,
+        constants_cap=cap)
 
 
 def _write_opening(w: _W, o: OracleOpening):

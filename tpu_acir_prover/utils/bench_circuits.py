@@ -18,7 +18,7 @@ def mul_chain_circuit(log_n: int) -> CompiledCircuit:
     n = 1 << log_n
     W = B.NUM_WIRES
     selectors = np.zeros((B.NUM_SELECTORS, n), dtype=np.uint64)
-    selectors[B.SEL_QM, :] = 1
+    selectors[B.SEL_QM0, :] = 1
     selectors[B.SEL_Q0 + 2, :] = P - 1
     wire_vars = np.zeros((W, n), dtype=np.int64)
     wire_vars[0:3, :] = 1  # all slots -> var 1 (value 1)
