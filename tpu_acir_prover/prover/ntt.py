@@ -53,6 +53,44 @@ def _as_2d(a):
     return a if a.ndim == 2 else a.reshape(a.shape[0], 1)
 
 
+def _is_jax(xp):
+    return "jax" in getattr(xp, "__name__", "")
+
+
+def device_powers(G, base: int, n: int):
+    """[base^0 .. base^(n-1)] as a device (lo, hi) pair, built by
+    log-doubling (log2 n concats of O(k) muls).
+
+    Used instead of numpy-table constants inside jitted programs: an
+    embedded n-element uint64 literal costs 8n bytes of HLO per program
+    (64 MB at n = 2^23), which dominated compile time and the on-disk
+    compilation cache; the in-graph computation is O(n) multiplies —
+    noise next to the O(n log n) NTT it feeds."""
+    xp = G.xp
+    lo = xp.ones((1,), xp.uint32)
+    hi = xp.zeros((1,), xp.uint32)
+    cur = base % _gl.P
+    k = 1
+    while k < n:
+        c = G.const(cur)
+        step = G.mul((lo, hi), (c[0].reshape(1), c[1].reshape(1)))
+        lo = xp.concatenate([lo, step[0]])
+        hi = xp.concatenate([hi, step[1]])
+        cur = _gl.s_mul(cur, cur)
+        k *= 2
+    return lo[:n], hi[:n]
+
+
+def device_bit_reverse(xp, log_n: int):
+    """Bit-reversal permutation indices as an in-graph int32 iota compute."""
+    n = 1 << log_n
+    idx = xp.arange(n, dtype=xp.int32)
+    rev = xp.zeros(n, dtype=xp.int32)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
+    return rev
+
+
 def ntt(G, values, inverse=False):
     """NTT along axis 0 of (lo, hi) arrays shaped (n,) or (n, C).
 
@@ -66,14 +104,28 @@ def ntt(G, values, inverse=False):
     log_n = int(n).bit_length() - 1
     assert (1 << log_n) == n, "NTT size must be a power of two"
 
-    rev = bit_reverse_indices(log_n)
-    lo = xp.take(lo, xp.asarray(rev.astype(np.int32)), axis=0)
-    hi = xp.take(hi, xp.asarray(rev.astype(np.int32)), axis=0)
-
-    tables = _twiddle_tables(log_n, inverse)
+    on_dev = _is_jax(xp)
+    if on_dev:
+        rev = device_bit_reverse(xp, log_n)
+        lo = xp.take(lo, rev, axis=0)
+        hi = xp.take(hi, rev, axis=0)
+        # one shared power table; stage s twiddles are a strided view
+        w_last = _gl.root_of_unity(log_n)
+        if inverse:
+            w_last = _gl.s_inv(w_last)
+        ptab = device_powers(G, w_last, max(n // 2, 1))
+    else:
+        rev = bit_reverse_indices(log_n)
+        lo = xp.take(lo, xp.asarray(rev.astype(np.int32)), axis=0)
+        hi = xp.take(hi, xp.asarray(rev.astype(np.int32)), axis=0)
+        tables = _twiddle_tables(log_n, inverse)
     for s in range(log_n):
         h = 1 << s
-        tw = G.from_u64(tables[s])  # shape (h,)
+        if on_dev:
+            stride = 1 << (log_n - 1 - s)
+            tw = (ptab[0][::stride][:h], ptab[1][::stride][:h])
+        else:
+            tw = G.from_u64(tables[s])  # shape (h,)
         tw = (tw[0].reshape(1, h, 1), tw[1].reshape(1, h, 1))
         a = (lo.reshape(-1, 2, h, c)[:, 0], hi.reshape(-1, 2, h, c)[:, 0])
         b = (lo.reshape(-1, 2, h, c)[:, 1], hi.reshape(-1, 2, h, c)[:, 1])
@@ -115,7 +167,10 @@ def coset_lde(G, coeffs, rate_bits: int, shift: int = _gl.MULTIPLICATIVE_GENERAT
     n, c = lo.shape
     log_n = int(n).bit_length() - 1
     m = n << rate_bits
-    sp = G.from_u64(_shift_powers(log_n, shift, False))
+    if _is_jax(xp):
+        sp = device_powers(G, shift % _gl.P, n)
+    else:
+        sp = G.from_u64(_shift_powers(log_n, shift, False))
     lo, hi = G.mul((lo, hi), (sp[0].reshape(n, 1), sp[1].reshape(n, 1)))
     pad = ((0, m - n), (0, 0))
     lo = xp.pad(lo, pad)
@@ -129,5 +184,8 @@ def coset_intt(G, values, shift: int = _gl.MULTIPLICATIVE_GENERATOR):
     m = lo.shape[0]
     log_m = int(m).bit_length() - 1
     lo, hi = intt(G, (lo, hi))
-    sp = G.from_u64(_shift_powers(log_m, shift, True))
+    if _is_jax(G.xp):
+        sp = device_powers(G, _gl.s_inv(shift), m)
+    else:
+        sp = G.from_u64(_shift_powers(log_m, shift, True))
     return G.mul((lo, hi), (sp[0].reshape(m, 1), sp[1].reshape(m, 1)))

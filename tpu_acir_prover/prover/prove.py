@@ -138,20 +138,50 @@ def _ext_ones(xp, n):
 
 
 def batch_inv_ext(E, vals):
-    """Montgomery batch inversion of a list of (n,)-shaped ext vectors:
-    one Fermat inversion + 3(len-1) multiplications."""
+    """Batch inversion of a list of (n,)-shaped ext vectors: one Fermat
+    inversion + ~3*len multiplications, arranged as a BINARY TREE (product
+    tree up, inverse push-down) instead of the sequential Montgomery chain
+    — the chain's O(len) dependent-multiply depth hits the XLA fusion
+    duplication blowup (see tree_fold); the tree is depth O(log len).
+    Inverses are unique field values, so outputs are unchanged."""
     if len(vals) == 1:
         return [E.inv(vals[0])]
-    prefix = [vals[0]]
-    for v in vals[1:]:
-        prefix.append(E.mul(prefix[-1], v))
-    inv_total = E.inv(prefix[-1])
-    outs = [None] * len(vals)
-    for i in range(len(vals) - 1, 0, -1):
-        outs[i] = E.mul(inv_total, prefix[i - 1])
-        inv_total = E.mul(inv_total, vals[i])
-    outs[0] = inv_total
-    return outs
+    levels = [list(vals)]
+    while len(levels[-1]) > 1:
+        cur = levels[-1]
+        levels.append([E.mul(cur[i], cur[i + 1]) if i + 1 < len(cur)
+                       else cur[i] for i in range(0, len(cur), 2)])
+    inv = [E.inv(levels[-1][0])]
+    for lev in range(len(levels) - 2, -1, -1):
+        cur = levels[lev]
+        ninv = []
+        for i in range(0, len(cur), 2):
+            p = inv[i // 2]
+            if i + 1 < len(cur):
+                ninv.append(E.mul(p, cur[i + 1]))
+                ninv.append(E.mul(p, cur[i]))
+            else:
+                ninv.append(p)
+        inv = ninv
+    return inv
+
+
+def tree_fold(fn, items):
+    """Balanced binary fold of [x0, x1, ...] with an associative op.
+
+    Field ops are exact mod p, so reassociation never changes values; what
+    it changes is DEPTH.  XLA's fusion emitters (CPU and TPU) duplicate
+    multi-user subexpressions inside a fusion, so a depth-d dependent chain
+    of limb multiplies costs O(c^d) generated work — a 32-deep chain took
+    minutes to run on XLA:CPU while the balanced tree is milliseconds.
+    Every product/sum over wires or constraint terms must fold as a tree."""
+    items = list(items)
+    assert items
+    while len(items) > 1:
+        nxt = [fn(items[i], items[i + 1]) if i + 1 < len(items) else items[i]
+               for i in range(0, len(items), 2)]
+        items = nxt
+    return items[0]
 
 
 def perm_group_products(G, E, wires, sigmas, xpair, k_dev, beta_d, gamma_d,
@@ -171,15 +201,14 @@ def perm_group_products(G, E, wires, sigmas, xpair, k_dev, beta_d, gamma_d,
 
     nums, dens = [], []
     for (s, e) in groups:
-        num = den = None
+        f_nums, f_dens = [], []
         for i in range(s, e):
             kx = G.mul(xpair, (k_dev[0][i:i + 1], k_dev[1][i:i + 1]))
-            f_num = factor((wlo[:, i], whi[:, i]), kx)
-            f_den = factor((wlo[:, i], whi[:, i]), (slo[:, i], shi[:, i]))
-            num = f_num if num is None else E.mul(num, f_num)
-            den = f_den if den is None else E.mul(den, f_den)
-        nums.append(num)
-        dens.append(den)
+            f_nums.append(factor((wlo[:, i], whi[:, i]), kx))
+            f_dens.append(factor((wlo[:, i], whi[:, i]),
+                                 (slo[:, i], shi[:, i])))
+        nums.append(tree_fold(E.mul, f_nums))
+        dens.append(tree_fold(E.mul, f_dens))
     return nums, dens
 
 
@@ -195,9 +224,7 @@ def lookup_helper_terms(G, E, wires, lam_d, qlk, groups):
     invs = batch_inv_ext(E, facs)
     hs = []
     for (s, e) in groups:
-        acc = invs[s]
-        for i in range(s + 1, e):
-            acc = E.add(acc, invs[i])
+        acc = tree_fold(E.add, invs[s:e])
         hs.append((G.mul(acc[0], qlk), G.mul(acc[1], qlk)))
     return hs
 
@@ -298,15 +325,14 @@ def gate_eval(G, q_cols, w_cols):
     def col(mlo, mhi, j):
         return (mlo[:, j], mhi[:, j])
 
-    acc = None
+    terms = []
     for j in range(npair):
-        t = G.mul(G.mul(col(qlo, qhi, j), col(wlo, whi, 2 * j)),
-                  col(wlo, whi, 2 * j + 1))
-        acc = t if acc is None else G.add(acc, t)
+        terms.append(G.mul(G.mul(col(qlo, qhi, j), col(wlo, whi, 2 * j)),
+                           col(wlo, whi, 2 * j + 1)))
     for i in range(W):
-        t = G.mul(col(qlo, qhi, npair + i), col(wlo, whi, i))
-        acc = G.add(acc, t)
-    return G.add(acc, col(qlo, qhi, npair + W))
+        terms.append(G.mul(col(qlo, qhi, npair + i), col(wlo, whi, i)))
+    terms.append(col(qlo, qhi, npair + W))
+    return tree_fold(G.add, terms)
 
 
 def ext_combo_columns(G, E, is_jax, mat, alphas_dev):
@@ -341,6 +367,251 @@ def _ecol(mlo, mhi, t):
     """Ext column t of an interleaved (n, 2*Cext) base matrix."""
     return ((mlo[:, 2 * t], mhi[:, 2 * t]),
             (mlo[:, 2 * t + 1], mhi[:, 2 * t + 1]))
+
+
+# ---------------------------------------------------------------------------
+# Phase bodies: pure traceable functions over device tensors.  Shared between
+# the per-phase jits below and the fully fused single-program prover
+# (prover/fused.py) so both paths stay bit-identical by construction.
+
+
+def round2_body(pk, wires_full, sig, xh, kdev, tbl, qlk,
+                beta_d, gamma_d, lam_d):
+    """Round-2 committed columns from the wires matrix.
+
+    wires_full: (n, W [+1]) pair (multiplicity column last with lookups);
+    sig: (n, W) sigma pair; xh: (n,) domain pair; kdev: (W,) coset shifts;
+    tbl/qlk: (n,) pairs (zeros when no lookups); challenges as broadcastable
+    ext scalars.  Returns the (n, 2*num_z_ext) interleaved base pair."""
+    G, E = pk.G, pk.E
+    xp = G.xp
+    W = pk.W
+    groups = pk.perm_groups
+    lk_groups = pk.lk_groups
+    has_lk = pk.has_lookups
+    log_n = pk.compiled.log_n
+    is_jax = pk.is_jax
+    wlo, whi = wires_full
+    wires = (wlo[:, :W], whi[:, :W])
+    nums, dens = perm_group_products(
+        G, E, wires, sig, xh, kdev, beta_d, gamma_d, groups)
+    num = tree_fold(E.mul, nums)
+    den = tree_fold(E.mul, dens)
+    ratio = E.mul(num, E.inv(den))
+    acc = prefix_product_ext(G, E, is_jax, ratio, log_n)
+    z = ((_shift_one(xp, acc[0], fill_one=True)),
+         (_shift_one(xp, acc[1])))
+    ecols = [z]
+    if len(groups) > 1:
+        cum_n = nums[0]
+        cum_d = dens[0]
+        partial_dens = [cum_d]
+        cum_ns = [cum_n]
+        for t in range(1, len(groups) - 1):
+            cum_n = E.mul(cum_n, nums[t])
+            cum_d = E.mul(cum_d, dens[t])
+            cum_ns.append(cum_n)
+            partial_dens.append(cum_d)
+        inv_dens = batch_inv_ext(E, partial_dens)
+        for cn, idn in zip(cum_ns, inv_dens):
+            ecols.append(E.mul(z, E.mul(cn, idn)))
+    if has_lk:
+        tlo, thi = tbl
+        hs = lookup_helper_terms(G, E, wires, lam_d, qlk, lk_groups)
+        tz = xp.zeros_like(tlo)
+        h_t = E.inv(E.sub(lam_d, ((tlo, thi), (tz, tz))))
+        mcol = (wlo[:, W], whi[:, W])
+        mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
+        delta = tree_fold(E.add, hs)
+        delta = E.sub(delta, mh)
+        incl = prefix_sum_ext(G, E, is_jax, delta, log_n)
+        s_col = ((_shift_one(xp, incl[0])), (_shift_one(xp, incl[1])))
+        ecols.extend(hs)
+        ecols.append(h_t)
+        ecols.append(s_col)
+    lo = xp.stack([c for e in ecols for c in (e[0][0], e[1][0])], axis=1)
+    hi = xp.stack([c for e in ecols for c in (e[0][1], e[1][1])], axis=1)
+    return lo, hi
+
+
+def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
+                  x_lde, kdev, zh_inv, zh,
+                  beta_d, gamma_d, lam_d, alphas4):
+    """alpha-combined constraints / Z_H on the LDE -> quotient coeff columns.
+
+    pi_pair: (n,) base pair of -PI values on H; alphas4: 4 arrays (ncons,)
+    of the constraint-combination ext powers."""
+    G, E = pk.G, pk.E
+    xp = G.xp
+    n, m = pk.n, pk.m
+    W = pk.W
+    nch = pk.num_chunks
+    rate = pk.config.rate
+    rate_bits = pk.config.rate_bits
+    groups = pk.perm_groups
+    lk_groups = pk.lk_groups
+    has_lk = pk.has_lookups
+    clo, chi = const_lde
+    wlo, whi = wires_lde_full
+    zlo, zhi = z_lde
+    alr, ahr, ali, ahi_ = alphas4
+
+    def col(mlo, mhi, j):
+        return (mlo[:, j], mhi[:, j])
+
+    def base_to_ext(bval):
+        zz = xp.zeros_like(bval[0])
+        return (bval, (zz, zz))
+
+    def a_mul(i, cval):
+        ai = ((alr[i].reshape(1), ahr[i].reshape(1)),
+              (ali[i].reshape(1), ahi_[i].reshape(1)))
+        return E.mul(ai, cval)
+
+    pi_lde = coset_lde(G, intt(G, (pi_pair[0].reshape(n, 1),
+                                   pi_pair[1].reshape(n, 1))), rate_bits)
+    wires = (wlo[:, :W], whi[:, :W])
+    gate = gate_eval(G, (clo[:, :NUM_SELECTORS], chi[:, :NUM_SELECTORS]),
+                     wires)
+    gate = G.add(gate, (pi_lde[0][:, 0], pi_lde[1][:, 0]))
+    # accumulate alpha^i * c_i as a list and tree-sum at the end (shallow
+    # fusion depth — see tree_fold)
+    terms = [base_to_ext(gate)]
+
+    z_ext = _ecol(zlo, zhi, 0)
+    zg_ext = ((xp.roll(z_ext[0][0], -rate), xp.roll(z_ext[0][1], -rate)),
+              (xp.roll(z_ext[1][0], -rate), xp.roll(z_ext[1][1], -rate)))
+
+    x_minus_1 = G.sub(x_lde, G.const(1, (m,)))
+    l1 = G.mul(zh, G.inv(G.mul_const(x_minus_1, n)))
+    one_c = G.const(1, (1,))
+    zm1 = (G.sub(z_ext[0], one_c), z_ext[1])
+    terms.append(a_mul(1, (G.mul(l1, zm1[0]), G.mul(l1, zm1[1]))))
+
+    sig = (clo[:, NUM_SELECTORS:NUM_SELECTORS + W],
+           chi[:, NUM_SELECTORS:NUM_SELECTORS + W])
+    nums, dens = perm_group_products(
+        G, E, wires, sig, x_lde, kdev, beta_d, gamma_d, groups)
+    K = len(groups)
+    chain = [z_ext] + [_ecol(zlo, zhi, 1 + t) for t in range(K - 1)] \
+        + [zg_ext]
+    for t in range(K):
+        c_t = E.sub(E.mul(chain[t], nums[t]),
+                    E.mul(chain[t + 1], dens[t]))
+        terms.append(a_mul(2 + t, c_t))
+
+    if has_lk:
+        qlk = col(clo, chi, SEL_QLK)
+        tcol = col(clo, chi, NUM_SELECTORS + W)
+        mcol = col(wlo, whi, W)
+        nh = len(lk_groups)
+        base_i = 2 + K
+        facs = []
+        for i in range(W):
+            facs.append(E.sub(lam_d, base_to_ext(col(wlo, whi, i))))
+        for t, (s, e) in enumerate(lk_groups):
+            h_g = _ecol(zlo, zhi, K + t)
+            prod = tree_fold(E.mul, facs[s:e])
+            rhs_terms = []
+            for i in range(s, e):
+                rest = facs[s:i] + facs[i + 1:e]
+                rhs_terms.append(tree_fold(E.mul, rest) if rest
+                                 else _ext_ones(xp, m))
+            rhs = tree_fold(E.add, rhs_terms)
+            rhs_s = (G.mul(rhs[0], qlk), G.mul(rhs[1], qlk))
+            c_h = E.sub(E.mul(h_g, prod), rhs_s)
+            terms.append(a_mul(base_i + t, c_h))
+        h_t = _ecol(zlo, zhi, K + nh)
+        c_ht = E.sub(E.mul(h_t, E.sub(lam_d, base_to_ext(tcol))),
+                     _ext_ones(xp, m))
+        terms.append(a_mul(base_i + nh, c_ht))
+        s_ext = _ecol(zlo, zhi, K + nh + 1)
+        sg_ext = ((xp.roll(s_ext[0][0], -rate),
+                   xp.roll(s_ext[0][1], -rate)),
+                  (xp.roll(s_ext[1][0], -rate),
+                   xp.roll(s_ext[1][1], -rate)))
+        hsum = tree_fold(E.add, [_ecol(zlo, zhi, K + t) for t in range(nh)])
+        mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
+        c_s = E.add(E.sub(E.sub(sg_ext, s_ext), hsum), mh)
+        terms.append(a_mul(base_i + nh + 1, c_s))
+        c_l1s = (G.mul(l1, s_ext[0]), G.mul(l1, s_ext[1]))
+        terms.append(a_mul(base_i + nh + 2, c_l1s))
+
+    c_all = tree_fold(E.add, terms)
+    t_lde = (G.mul(c_all[0], zh_inv),
+             G.mul(c_all[1], zh_inv))
+    t_re = coset_intt(G, t_lde[0])
+    t_im = coset_intt(G, t_lde[1])
+    q_lo = xp.stack(
+        [t_re[0][k * n:(k + 1) * n, 0] for k in range(nch)] +
+        [t_im[0][k * n:(k + 1) * n, 0] for k in range(nch)], axis=1)
+    q_hi = xp.stack(
+        [t_re[1][k * n:(k + 1) * n, 0] for k in range(nch)] +
+        [t_im[1][k * n:(k + 1) * n, 0] for k in range(nch)], axis=1)
+    return q_lo, q_hi
+
+
+def open_body(pk, coeffs, pow_re, pow_im):
+    """Evaluate all columns of a coeff matrix at an ext point given its
+    (n,) power-table pairs.  Returns ((C,) re pair, (C,) im pair)."""
+    G = pk.G
+    re = G.mul(coeffs, (pow_re[0].reshape(-1, 1), pow_re[1].reshape(-1, 1)))
+    im = G.mul(coeffs, (pow_im[0].reshape(-1, 1), pow_im[1].reshape(-1, 1)))
+    return sum_rows(G, re), sum_rows(G, im)
+
+
+def fri_combine_body(pk, lde_list, z_lde, x_lde, alphas4,
+                     y1_d, y2_d, zeta_d, gzeta_d):
+    """F(x) = sum_i a_i (p_i(x) - y_i)/(x - zeta) + the g*zeta group.
+
+    lde_list: per-oracle (m, C) pairs; alphas4: 4 arrays (ncols + zcols,);
+    challenges/openings as broadcastable ext scalars."""
+    G, E = pk.G, pk.E
+    m = pk.m
+    is_jax = pk.is_jax
+    ncols = sum(p[0].shape[1] for p in lde_list)
+
+    alr, ahr, ali, ahi_ = alphas4
+
+    def combo(mlo, mhi, base):
+        c = mlo.shape[1]
+        sl = slice(base, base + c)
+        return ext_combo_columns(G, E, is_jax, (mlo, mhi),
+                                 (alr[sl], ahr[sl], ali[sl], ahi_[sl]))
+
+    acc1 = None
+    base = 0
+    for (mlo, mhi) in lde_list:
+        t = combo(mlo, mhi, base)
+        acc1 = t if acc1 is None else E.add(acc1, t)
+        base += mlo.shape[1]
+    acc1 = E.sub(acc1, y1_d)
+    xmz = (G.sub(x_lde, zeta_d[0]),
+           G.neg((G.xp.broadcast_to(zeta_d[1][0], (m,)),
+                  G.xp.broadcast_to(zeta_d[1][1], (m,)))))
+    F1 = E.mul(acc1, E.inv(xmz))
+    acc2 = combo(z_lde[0], z_lde[1], ncols)
+    acc2 = E.sub(acc2, y2_d)
+    xmgz = (G.sub(x_lde, gzeta_d[0]),
+            G.neg((G.xp.broadcast_to(gzeta_d[1][0], (m,)),
+                   G.xp.broadcast_to(gzeta_d[1][1], (m,)))))
+    F2 = E.mul(acc2, E.inv(xmgz))
+    return E.add(F1, F2)
+
+
+def fri_fold_body(pk, values_ext, inv2x, beta_d):
+    """One FRI fold: (size,) ext values -> (size/2,) ext values."""
+    G, E = pk.G, pk.E
+    h = int(values_ext[0][0].shape[0]) // 2
+    v0 = ((values_ext[0][0][:h], values_ext[0][1][:h]),
+          (values_ext[1][0][:h], values_ext[1][1][:h]))
+    v1 = ((values_ext[0][0][h:], values_ext[0][1][h:]),
+          (values_ext[1][0][h:], values_ext[1][1][h:]))
+    s = E.add(v0, v1)
+    d = E.sub(v0, v1)
+    half = G.const(_HALF, (1,))
+    return E.add(E.mul_base(s, half),
+                 E.mul(beta_d, E.mul_base(d, inv2x)))
 
 
 class ProvingKey:
@@ -490,58 +761,10 @@ class ProvingKey:
                 b0, b1, b2, b3, g0, g1, g2, g3, l0, l1, l2, l3):
             beta_d = _ext_scal(G, b0, b1, b2, b3)
             gamma_d = _ext_scal(G, g0, g1, g2, g3)
-            wires = (wlo[:, :W], whi[:, :W])
-            nums, dens = perm_group_products(
-                G, E, wires, (slo, shi), (xlo, xhi), (klo, khi),
-                beta_d, gamma_d, groups)
-            num = nums[0]
-            den = dens[0]
-            for t in range(1, len(groups)):
-                num = E.mul(num, nums[t])
-                den = E.mul(den, dens[t])
-            ratio = E.mul(num, E.inv(den))
-            acc = prefix_product_ext(G, E, is_jax, ratio, log_n)
-            z = ((_shift_one(xp, acc[0], fill_one=True)),
-                 (_shift_one(xp, acc[1])))
-            ecols = [z]
-            # partial products B_j = Z * prod_{g<=j} N_g/D_g
-            if len(groups) > 1:
-                cum_n = nums[0]
-                cum_d = dens[0]
-                partial_dens = [cum_d]
-                cum_ns = [cum_n]
-                for t in range(1, len(groups) - 1):
-                    cum_n = E.mul(cum_n, nums[t])
-                    cum_d = E.mul(cum_d, dens[t])
-                    cum_ns.append(cum_n)
-                    partial_dens.append(cum_d)
-                inv_dens = batch_inv_ext(E, partial_dens)
-                for cn, idn in zip(cum_ns, inv_dens):
-                    ecols.append(E.mul(z, E.mul(cn, idn)))
-            if has_lk:
-                lam_d = _ext_scal(G, l0, l1, l2, l3)
-                hs = lookup_helper_terms(G, E, wires, lam_d, (qlklo, qlkhi),
-                                         lk_groups)
-                # h_T = 1 / (lam - T)
-                tz = xp.zeros_like(tlo)
-                h_t = E.inv(E.sub(lam_d, ((tlo, thi), (tz, tz))))
-                # m * h_T  (m is the last wires-oracle column)
-                mcol = (wlo[:, W], whi[:, W])
-                mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
-                delta = hs[0]
-                for h in hs[1:]:
-                    delta = E.add(delta, h)
-                delta = E.sub(delta, mh)
-                incl = prefix_sum_ext(G, E, is_jax, delta, log_n)
-                s_col = ((_shift_one(xp, incl[0])), (_shift_one(xp, incl[1])))
-                ecols.extend(hs)
-                ecols.append(h_t)
-                ecols.append(s_col)
-            lo = xp.stack([c for e in ecols for c in (e[0][0], e[1][0])],
-                          axis=1)
-            hi = xp.stack([c for e in ecols for c in (e[0][1], e[1][1])],
-                          axis=1)
-            return lo, hi
+            lam_d = _ext_scal(G, l0, l1, l2, l3)
+            return round2_body(self, (wlo, whi), (slo, shi), (xlo, xhi),
+                               (klo, khi), (tlo, thi), (qlklo, qlkhi),
+                               beta_d, gamma_d, lam_d)
 
         if has_lk:
             tdev, qdev = self.table_dev, self.qlk_dev
@@ -583,115 +806,12 @@ class ProvingKey:
                 alr, ahr, ali, ahi_):
             beta_d = _ext_scal(G, b0, b1, b2, b3)
             gamma_d = _ext_scal(G, g0, g1, g2, g3)
-
-            def col(mlo, mhi, j):
-                return (mlo[:, j], mhi[:, j])
-
-            def base_to_ext(bval):
-                zz = xp.zeros_like(bval[0])
-                return (bval, (zz, zz))
-
-            def a_mul(i, cval):
-                ai = ((alr[i].reshape(1), ahr[i].reshape(1)),
-                      (ali[i].reshape(1), ahi_[i].reshape(1)))
-                return E.mul(ai, cval)
-
-            pi_lde = coset_lde(G, intt(G, (pilo.reshape(n, 1),
-                                           pihi.reshape(n, 1))), rate_bits)
-            wires = (wlo[:, :W], whi[:, :W])
-            gate = gate_eval(G, (clo[:, :NUM_SELECTORS], chi[:, :NUM_SELECTORS]),
-                             wires)
-            gate = G.add(gate, (pi_lde[0][:, 0], pi_lde[1][:, 0]))
-            c_all = base_to_ext(gate)
-
-            z_ext = _ecol(zlo, zhi, 0)
-            zg_ext = ((xp.roll(z_ext[0][0], -rate), xp.roll(z_ext[0][1], -rate)),
-                      (xp.roll(z_ext[1][0], -rate), xp.roll(z_ext[1][1], -rate)))
-
-            x_minus_1 = G.sub((xlo, xhi), G.const(1, (m,)))
-            l1 = G.mul((zhlo, zhhi), G.inv(G.mul_const(x_minus_1, n)))
-            one_c = G.const(1, (1,))
-            zm1 = (G.sub(z_ext[0], one_c), z_ext[1])
-            c_all = E.add(c_all, a_mul(1, (G.mul(l1, zm1[0]),
-                                           G.mul(l1, zm1[1]))))
-
-            sig = (clo[:, NUM_SELECTORS:NUM_SELECTORS + W],
-                   chi[:, NUM_SELECTORS:NUM_SELECTORS + W])
-            nums, dens = perm_group_products(
-                G, E, wires, sig, (xlo, xhi), (klo, khi), beta_d, gamma_d,
-                groups)
-            K = len(groups)
-            # lhs chain: Z, B_1, ..., B_{K-1}, Z(gx)
-            chain = [z_ext] + [_ecol(zlo, zhi, 1 + t) for t in range(K - 1)] \
-                + [zg_ext]
-            for t in range(K):
-                c_t = E.sub(E.mul(chain[t], nums[t]),
-                            E.mul(chain[t + 1], dens[t]))
-                c_all = E.add(c_all, a_mul(2 + t, c_t))
-
-            if has_lk:
-                lam_d = _ext_scal(G, la0, la1, la2, la3)
-                qlk = col(clo, chi, SEL_QLK)
-                tcol = col(clo, chi, NUM_SELECTORS + W)
-                mcol = col(wlo, whi, W)
-                nh = len(lk_groups)
-                base_i = 2 + K
-                # helper constraints
-                facs = []
-                for i in range(W):
-                    facs.append(E.sub(lam_d, base_to_ext(col(wlo, whi, i))))
-                for t, (s, e) in enumerate(lk_groups):
-                    h_g = _ecol(zlo, zhi, K + t)
-                    prod = facs[s]
-                    for i in range(s + 1, e):
-                        prod = E.mul(prod, facs[i])
-                    # sum of products leaving one factor out
-                    rhs = None
-                    for i in range(s, e):
-                        term = None
-                        for k2 in range(s, e):
-                            if k2 == i:
-                                continue
-                            term = facs[k2] if term is None \
-                                else E.mul(term, facs[k2])
-                        if term is None:
-                            term = _ext_ones(xp, m)
-                        rhs = term if rhs is None else E.add(rhs, term)
-                    rhs_s = (G.mul(rhs[0], qlk), G.mul(rhs[1], qlk))
-                    c_h = E.sub(E.mul(h_g, prod), rhs_s)
-                    c_all = E.add(c_all, a_mul(base_i + t, c_h))
-                # h_T * (lam - T) - 1 = 0
-                h_t = _ecol(zlo, zhi, K + nh)
-                c_ht = E.sub(E.mul(h_t, E.sub(lam_d, base_to_ext(tcol))),
-                             _ext_ones(xp, m))
-                c_all = E.add(c_all, a_mul(base_i + nh, c_ht))
-                # S(gx) - S - sum h_g + m*h_T = 0
-                s_ext = _ecol(zlo, zhi, K + nh + 1)
-                sg_ext = ((xp.roll(s_ext[0][0], -rate),
-                           xp.roll(s_ext[0][1], -rate)),
-                          (xp.roll(s_ext[1][0], -rate),
-                           xp.roll(s_ext[1][1], -rate)))
-                c_s = E.sub(sg_ext, s_ext)
-                for t in range(nh):
-                    c_s = E.sub(c_s, _ecol(zlo, zhi, K + t))
-                mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
-                c_s = E.add(c_s, mh)
-                c_all = E.add(c_all, a_mul(base_i + nh + 1, c_s))
-                # L_1 * S = 0
-                c_l1s = (G.mul(l1, s_ext[0]), G.mul(l1, s_ext[1]))
-                c_all = E.add(c_all, a_mul(base_i + nh + 2, c_l1s))
-
-            t_lde = (G.mul(c_all[0], (zhilo, zhihi)),
-                     G.mul(c_all[1], (zhilo, zhihi)))
-            t_re = coset_intt(G, t_lde[0])
-            t_im = coset_intt(G, t_lde[1])
-            q_lo = xp.stack(
-                [t_re[0][k * n:(k + 1) * n, 0] for k in range(nch)] +
-                [t_im[0][k * n:(k + 1) * n, 0] for k in range(nch)], axis=1)
-            q_hi = xp.stack(
-                [t_re[1][k * n:(k + 1) * n, 0] for k in range(nch)] +
-                [t_im[1][k * n:(k + 1) * n, 0] for k in range(nch)], axis=1)
-            return q_lo, q_hi
+            lam_d = _ext_scal(G, la0, la1, la2, la3)
+            return quotient_body(self, (clo, chi), (wlo, whi), (zlo, zhi),
+                                 (pilo, pihi), (xlo, xhi), (klo, khi),
+                                 (zhilo, zhihi), (zhlo, zhhi),
+                                 beta_d, gamma_d, lam_d,
+                                 (alr, ahr, ali, ahi_))
 
         lam = lam or (0, 0)
         pi_dev = _mat_to_dev(G, pi_vals.reshape(n, 1))
@@ -709,9 +829,7 @@ class ProvingKey:
         G = self.G
 
         def run(lo, hi, prl, prh, pil, pih):
-            re = G.mul((lo, hi), (prl.reshape(-1, 1), prh.reshape(-1, 1)))
-            im = G.mul((lo, hi), (pil.reshape(-1, 1), pih.reshape(-1, 1)))
-            return sum_rows(G, re), sum_rows(G, im)
+            return open_body(self, (lo, hi), (prl, prh), (pil, pih))
 
         shape = tuple(oracle.coeffs[0].shape)
         (re, im) = self.jit(("open", shape), run)(*oracle.coeffs, *pows[0],
@@ -743,35 +861,13 @@ class ProvingKey:
             (zlo, zhi, xlo, xhi, alr, ahr, ali, ahi_,
              y1r0, y1r1, y1i0, y1i1, y2r0, y2r1, y2i0, y2i1,
              ze0, ze1, ze2, ze3, gz0, gz1, gz2, gz3) = args[2 * n_oracles:]
-
-            def combo(mlo, mhi, base):
-                c = mlo.shape[1]
-                sl = slice(base, base + c)
-                return ext_combo_columns(G, E, is_jax, (mlo, mhi),
-                                         (alr[sl], ahr[sl], ali[sl], ahi_[sl]))
-
-            acc1 = None
-            base = 0
-            for (mlo, mhi) in mats:
-                t = combo(mlo, mhi, base)
-                acc1 = t if acc1 is None else E.add(acc1, t)
-                base += mlo.shape[1]
             y1d = ((_scal(G, y1r0), _scal(G, y1r1)), (_scal(G, y1i0), _scal(G, y1i1)))
-            acc1 = E.sub(acc1, y1d)
-            zeta_d = ((_scal(G, ze0), _scal(G, ze1)), (_scal(G, ze2), _scal(G, ze3)))
-            xmz = (G.sub((xlo, xhi), zeta_d[0]),
-                   G.neg((G.xp.broadcast_to(zeta_d[1][0], (m,)),
-                          G.xp.broadcast_to(zeta_d[1][1], (m,)))))
-            F1 = E.mul(acc1, E.inv(xmz))
-            acc2 = combo(zlo, zhi, ncols)
             y2d = ((_scal(G, y2r0), _scal(G, y2r1)), (_scal(G, y2i0), _scal(G, y2i1)))
-            acc2 = E.sub(acc2, y2d)
+            zeta_d = ((_scal(G, ze0), _scal(G, ze1)), (_scal(G, ze2), _scal(G, ze3)))
             gz_d = ((_scal(G, gz0), _scal(G, gz1)), (_scal(G, gz2), _scal(G, gz3)))
-            xmgz = (G.sub((xlo, xhi), gz_d[0]),
-                    G.neg((G.xp.broadcast_to(gz_d[1][0], (m,)),
-                           G.xp.broadcast_to(gz_d[1][1], (m,)))))
-            F2 = E.mul(acc2, E.inv(xmgz))
-            return E.add(F1, F2)
+            return fri_combine_body(self, mats, (zlo, zhi), (xlo, xhi),
+                                    (alr, ahr, ali, ahi_),
+                                    y1d, y2d, zeta_d, gz_d)
 
         xp = G.xp
 
@@ -796,15 +892,8 @@ class ProvingKey:
         h = int(values_ext[0][0].shape[0]) // 2
 
         def run(rl, rh, il, ih, xl, xh, b0, b1, b2, b3):
-            cur = ((rl, rh), (il, ih))
-            v0 = ((cur[0][0][:h], cur[0][1][:h]), (cur[1][0][:h], cur[1][1][:h]))
-            v1 = ((cur[0][0][h:], cur[0][1][h:]), (cur[1][0][h:], cur[1][1][h:]))
-            s = E.add(v0, v1)
-            d = E.sub(v0, v1)
-            half = G.const(_HALF, (1,))
             beta_d = ((_scal(G, b0), _scal(G, b1)), (_scal(G, b2), _scal(G, b3)))
-            return E.add(E.mul_base(s, half),
-                         E.mul(beta_d, E.mul_base(d, (xl, xh))))
+            return fri_fold_body(self, ((rl, rh), (il, ih)), (xl, xh), beta_d)
 
         return self.jit(("fri_fold", h), run)(
             *values_ext[0], *values_ext[1], *inv2x_dev, *_ext_arg(beta))
