@@ -144,6 +144,57 @@ def fibonacci(n_steps=10, brillig_noise=True):
     return program(c), wm
 
 
+def _ecdsa_sign(msg_hash: int, priv: int, k: int):
+    """Host-side textbook ECDSA signature (for fixture construction only)."""
+    from tpu_acir_prover.ops import secp256k1 as sec
+    n = sec.N_SCALAR
+    R = sec._mult(k, (sec.GX, sec.GY))
+    r = R[0] % n
+    s = pow(k, -1, n) * (msg_hash + r * priv) % n
+    return r, s
+
+
+def ecdsa_secp256k1(valid=True):
+    """fixture ecdsa_secp256k1 (test_precompiled.rs:7-44): byte-array
+    witnesses for pk_x/pk_y/signature/hashed_message, boolean output."""
+    from tpu_acir_prover.ops import secp256k1 as sec
+    priv = 0xC0FFEE1234567890C0FFEE1234567890C0FFEE1234567890C0FFEE1234567890
+    pk = sec._mult(priv, (sec.GX, sec.GY))
+    h = 0x9C1185A5C5E9FC54612808977EE8F548B2258D31A8D56F98AD214D06BBA2F9D2 \
+        % sec.N_SCALAR
+    r, s = _ecdsa_sign(h, priv, k=0xDEADBEEF)
+    if not valid:
+        s ^= 1
+    # expected output = the reference's quirky `r <= R.x` comparison
+    # (ecdsa_secp256k1_translator.rs:38-59), computed host-side so the
+    # invalid-signature fixture is deterministic
+    n = sec.N_SCALAR
+    s_inv = pow(s, -1, n)
+    u1, u2 = h * s_inv % n, r * s_inv % n
+    R = sec._add_const(sec._mult(u1, (sec.GX, sec.GY)), sec._mult(u2, pk))
+    expected = 1 if r <= R[0] else 0
+    if valid:
+        assert expected == 1
+
+    w = 0
+    groups = []
+    for ln in (32, 32, 64, 32):
+        groups.append(tuple(fi(w + i, 8) for i in range(ln)))
+        w += ln
+    out_w = w
+    op = ir.BlackBoxEcdsaSecp256k1(groups[0], groups[1], groups[2],
+                                   groups[3], out_w)
+    c = circuit([op], w + 1, private=tuple(range(w)), ret=(out_w,))
+    wm = {}
+    idx = 0
+    for v, ln in ((pk[0], 32), (pk[1], 32), ((r << 256) | s, 64), (h, 32)):
+        for byte in v.to_bytes(ln, "big"):
+            wm[idx] = byte
+            idx += 1
+    wm[out_w] = expected
+    return program(c), wm
+
+
 ALL_SMALL = {
     "assert_x_equals_5": assert_x_equals_5,
     "1_mul": one_mul,

@@ -355,9 +355,6 @@ def _add_const(p1, p2):
     return (x3, (s * (x1 - x3) - y1) % Q)
 
 
-# Blinding offset for incomplete-add avoidance: D = 31337 * G (the role of
-# the hardcoded seed points at glv.rs:310-384; a known multiple is fine —
-# it only needs to be distinct from intermediate values for honest runs).
 def _mult(k, point):
     """Host-side scalar mul for precomputed constants."""
     acc = None
@@ -370,16 +367,42 @@ def _mult(k, point):
     return acc
 
 
-D_POINT = _mult(31337, (GX, GY))
+def _nothing_up_sleeve_point(tag: bytes):
+    """Curve point with UNKNOWN discrete log: x = sha256(tag || ctr) mod Q,
+    first ctr whose x^3+7 is a QR, even-y root (Q = 3 mod 4).  The role of
+    the reference's hardcoded random blinding points (glv.rs:310-384), but
+    verifiably nothing-up-sleeve."""
+    import hashlib
+    ctr = 0
+    while True:
+        x = int.from_bytes(
+            hashlib.sha256(tag + ctr.to_bytes(4, "big")).digest(), "big") % Q
+        rhs = (x * x * x + 7) % Q
+        y = pow(rhs, (Q + 1) // 4, Q)
+        if y * y % Q == rhs:
+            return (x, y if y % 2 == 0 else Q - y)
+        ctr += 1
+
+
+# Blinding point for incomplete-add avoidance.  The dlog of B w.r.t. G (and
+# any PK) is unknown, so every potential degenerate add (x1 == x2) in the
+# ladders below would yield a nontrivial dlog relation involving B — i.e.
+# neither an honest prover (any input data) nor a malicious one can reach
+# the unconstrained-slope case of the incomplete add formula.  An earlier
+# revision used D = 31337*G; with a KNOWN-dlog blind the degeneracies are
+# input-reachable (a zero top window of the scalar made acc == table[0]
+# exactly) — found by the e2e ECDSA fixture, see tests/test_ecdsa_e2e.py.
+B_POINT = _nothing_up_sleeve_point(b"tpu_acir_prover/blind/v1/")
 
 
 def scalar_mul(b: CircuitBuilder, p: PointTarget, scalar_bits: List[int],
                blind: Tuple[int, int] = None) -> PointTarget:
-    """Double-and-add over little-endian scalar bits with a constant
-    blinding accumulator seed (dodges the incomplete-add identity cases
-    for honest witnesses, like curve.rs:218-258)."""
+    """Double-and-add over little-endian scalar bits with a blinding
+    accumulator seed (curve.rs:218-258 role).  acc = c*B + partial*p with
+    c = 2^i after i steps; acc == +-p at an add would give a dlog relation
+    for B, so the incomplete-add degenerate case is unreachable."""
     nb = len(scalar_bits)
-    blind = blind or D_POINT
+    blind = blind or B_POINT
     acc = point_constant(b, blind)
     for bit in reversed(scalar_bits):
         acc = point_double(b, acc)
@@ -395,32 +418,42 @@ def windowed_scalar_mul(b: CircuitBuilder, p: PointTarget,
                         scalar_bits: List[int], window: int = 4,
                         blind: Tuple[int, int] = None) -> PointTarget:
     """Variable-base windowed double-and-add: an in-circuit table of the
-    first 2^w multiples of p (offset by the blinding point so entry 0 is
-    not the identity), one add per window, w doubles between windows —
-    the variable-base analog of the reference's GLV windowed MSM
-    (glv.rs:175-255)."""
+    first 2^w multiples of p offset by the blinding point B, one add per
+    window, w doubles between windows — the variable-base analog of the
+    reference's GLV windowed MSM (glv.rs:175-255).
+
+    Degeneracy freedom: the FIRST window is a direct table mux (no seed
+    add), so acc = partial*p + c*B with c = sum_i 2^(window*i) >= 17 at
+    every subsequent add against table[j] = j*p + B — an x1 == x2 event
+    would yield a dlog relation for B.  (An earlier revision seeded acc
+    with the same blind as the table, making acc == table[0] exactly when
+    the scalar's top window is zero — a REACHABLE degenerate incomplete
+    add, caught by the e2e ECDSA fixture.)"""
     nb = len(scalar_bits)
-    blind = blind or D_POINT
-    dpt = point_constant(b, blind)
-    # table[j] = j*p + D
-    table = [dpt]
+    blind = blind or B_POINT
+    bpt = point_constant(b, blind)
+    # table[j] = j*p + B
+    table = [bpt]
     for j in range(1, 1 << window):
         table.append(point_add(b, table[-1], p))
-    acc = point_constant(b, blind)
+    acc = None
     num_windows = 0
     for w0 in range(((nb + window - 1) // window) * window - window, -1,
                     -window):
         bits = scalar_bits[w0:w0 + window]
-        if num_windows > 0:
+        oh = _onehot(b, bits)
+        t = _mux_points(b, oh, table[:1 << len(bits)])
+        if acc is None:
+            acc = t
+        else:
             for _ in range(window):
                 acc = point_double(b, acc)
-        oh = _onehot(b, bits)
-        acc = point_add(b, acc, _mux_points(b, oh, table[:1 << len(bits)]))
+            acc = point_add(b, acc, t)
         num_windows += 1
-    # accumulated blinding: seed D plus one D per window, all doubled
-    # along: off_k = 2^window * off_{k-1} + 1 with off_1 = 2 (seed + first)
-    off = 2
-    for _ in range(num_windows - 1):
+    # accumulated blinding: one B per window, doubled along:
+    # c_k = 2^window * c_{k-1} + 1 with c_1 = 1
+    off = 0
+    for _ in range(num_windows):
         off = (off << window) + 1
     offset = _mult(off % N_SCALAR, blind)
     neg = (offset[0], (Q - offset[1]) % Q)
@@ -431,22 +464,29 @@ def fixed_base_mul(b: CircuitBuilder, point_xy: Tuple[int, int],
                    scalar_bits: List[int], window: int = 4) -> PointTarget:
     """Fixed-base windowed scalar mul (no in-circuit doublings; the
     fixed-base analog of the reference GLV windowing, glv.rs:175-255):
-    table_w[j] = (j * 2^(w*window)) * P + D, so every window adds exactly
-    one table point and the total offset (num_windows + 1) * D is a
-    known constant subtracted at the end."""
+    table_w[j] = (j * 2^w0) * P + 2^widx * B, so every window adds exactly
+    one table point and the total offset (2^num_windows - 1) * B is a
+    known constant subtracted at the end.
+
+    Per-window blind multiples 2^widx keep the running blind coefficient
+    (a strict subset-sum of powers of two) distinct from every table
+    entry's, so an x1 == x2 event at any add would yield a dlog relation
+    for B — unreachable for any scalar value."""
     nb = len(scalar_bits)
-    acc = point_constant(b, D_POINT)
-    num_windows = 0
+    acc = None
+    widx = 0
     for w0 in range(0, nb, window):
         bits = scalar_bits[w0:w0 + window]
         base = _mult(1 << w0, point_xy)
+        bl = _mult((1 << widx) % N_SCALAR, B_POINT)
         table = []
         for j in range(1 << len(bits)):
             pt = _mult(j, base)
-            table.append(_add_const(pt, D_POINT))
+            table.append(_add_const(pt, bl))
         oh = _onehot(b, bits)
-        acc = point_add(b, acc, _mux_const_points(b, oh, table))
-        num_windows += 1
-    offset = _mult(num_windows + 1, D_POINT)
+        t = _mux_const_points(b, oh, table)
+        acc = t if acc is None else point_add(b, acc, t)
+        widx += 1
+    offset = _mult(((1 << widx) - 1) % N_SCALAR, B_POINT)
     neg = (offset[0], (Q - offset[1]) % Q)
     return point_add(b, acc, point_constant(b, neg))
