@@ -20,7 +20,7 @@ import numpy as np
 LOG_N = int(os.environ.get("BENCH_LOG_N", "20"))
 COLS = int(os.environ.get("BENCH_COLS", "6"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
-MODE = os.environ.get("BENCH_MODE", "ntt")  # "ntt" | "prove"
+MODE = os.environ.get("BENCH_MODE", "prove")  # "prove" | "ntt" | "ecdsa"
 RUST_SINGLE_CORE_BUTTERFLIES_PER_S = 175e6
 # single-core Rust plonky2 end-to-end prove estimate at 2^20 rows
 # (plonky2 README-class numbers extrapolated to one core): ~20 s
@@ -35,6 +35,9 @@ def bench_prove():
     from tpu_acir_prover.utils.bench_circuits import mul_chain_circuit
 
     from tpu_acir_prover.utils.timing import env_timer
+
+    if os.environ.get("BENCH_FUSED", "1") != "0":
+        from tpu_acir_prover.prover.fused import prove_fused as prove
 
     cc = mul_chain_circuit(LOG_N)
     t0 = time.perf_counter()
@@ -61,11 +64,53 @@ def bench_prove():
     }))
 
 
+def bench_ecdsa():
+    """End-to-end ECDSA prove+verify wall time (the reference's flagship
+    workload, test_precompiled.rs:7-44) at STANDARD_CONFIG."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import factories
+    from tpu_acir_prover.acir.translator import translate_program
+    from tpu_acir_prover.circuit.compile import compile_circuit
+    from tpu_acir_prover.prover.config import STANDARD_CONFIG
+    from tpu_acir_prover.prover.fused import prove_fused
+    from tpu_acir_prover.prover.prove import ProvingKey
+    from tpu_acir_prover.prover.verify import verify
+
+    prog, wm = factories.ecdsa_secp256k1()
+    t0 = time.perf_counter()
+    tr = translate_program(prog)
+    cc = compile_circuit(tr.builder)
+    print(f"  translate+compile: {time.perf_counter() - t0:.2f}s "
+          f"({cc.n} rows)", file=sys.stderr)
+    t0 = time.perf_counter()
+    pk = ProvingKey(cc, STANDARD_CONFIG)
+    print(f"  pk_build: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    ext = tr.external_values(wm)
+    t0 = time.perf_counter()
+    proof = prove_fused(pk, ext)
+    print(f"  warmup_prove: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    verify(pk.vk, proof)
+    reps = max(1, REPS // 2)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        proof = prove_fused(pk, ext)
+    dt = (time.perf_counter() - t0) / reps
+    verify(pk.vk, proof)
+    print(json.dumps({
+        "metric": f"ecdsa_prover_wall_time_2pow{cc.log_n}_rows",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(RUST_SINGLE_CORE_PROVE_S / dt, 2),
+    }))
+
+
 def main():
     from tpu_acir_prover.utils.jaxcfg import setup_jax_cache
     setup_jax_cache()
     if MODE == "prove":
         return bench_prove()
+    if MODE == "ecdsa":
+        return bench_ecdsa()
     import jax
     import jax.numpy as jnp
     from tpu_acir_prover.field.gl import make_gl, P

@@ -209,6 +209,32 @@ class AcirTranslator:
         return out
 
 
+def check_linked_outputs(tr: AcirTranslator, compiled,
+                         circuit: ir.Circuit) -> None:
+    """Structural anti-false-positive check (the reference's
+    check_linked_output_targets_property, tests/factories/utils.rs:29-53):
+    every ACIR return/public witness must map to a variable that occupies
+    at least one wire slot on a row where a selector actually touches that
+    slot — i.e. the output is CONSTRAINED, not a dangling variable whose
+    value the prover may choose freely.  Raises AssertionError otherwise."""
+    from ..circuit.builder import NUM_WIRES, SEL_Q0, SEL_QM0, SEL_QLK
+    sel = compiled.selectors
+    wv = compiled.wire_vars
+    constrained = set()
+    for col in range(NUM_WIRES):
+        touched = (sel[SEL_Q0 + col] != 0) | (sel[SEL_QM0 + col // 2] != 0) \
+            | (sel[SEL_QLK] != 0)
+        constrained.update(np.unique(wv[col][touched]).tolist())
+    outputs = sorted(set(circuit.return_values) | set(circuit.public_parameters))
+    for w in outputs:
+        assert w in tr.witness_to_var, \
+            f"output witness {w} never reached the translator"
+        v = tr.witness_to_var[w]
+        assert v in constrained, \
+            f"output witness {w} (var {v}) is not bound to any constrained " \
+            f"wire slot — translation dropped its binding"
+
+
 def translate_program(program: ir.Program) -> AcirTranslator:
     """Translate function 0, like the reference (prove_action.rs:33).
 

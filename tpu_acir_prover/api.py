@@ -58,6 +58,17 @@ def load_and_compile(bytecode_path: str, config: ProofConfig = STANDARD_CONFIG,
     return tr, pk
 
 
+def _prove_dispatch(pk, ext):
+    """jax backend defaults to the fused single-program prover (one compiled
+    XLA program, one host<->device round trip — tests/test_fused.py asserts
+    byte-identity with the per-phase path); TPU_ACIR_FUSED=0 opts out."""
+    is_jax = pk.G.xp is not np
+    if is_jax and os.environ.get("TPU_ACIR_FUSED", "1") != "0":
+        from .prover.fused import prove_fused
+        return prove_fused(pk, ext)
+    return prove(pk, ext)
+
+
 def prove_file(bytecode_path: str, witness_path: str, out_path: str,
                config: ProofConfig = STANDARD_CONFIG,
                backend: Optional[str] = None, compress: bool = True) -> bytes:
@@ -65,7 +76,7 @@ def prove_file(bytecode_path: str, witness_path: str, out_path: str,
     ws = codec.load_witness_stack(witness_path)
     witness_map = ws.peek().witness if ws.stack else {}
     ext = tr.external_values(witness_map)
-    proof = prove(pk, ext)
+    proof = _prove_dispatch(pk, ext)
     if compress:
         # the reference always writes compressed proofs (prove_action.rs:64-79)
         data = serialize_compressed_proof(compress_proof(pk.vk, proof))

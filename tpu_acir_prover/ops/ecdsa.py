@@ -11,8 +11,8 @@ Behavioral parity notes:
     (cmp_biguint is <=, not strict equality mod n — SURVEY.md C11 flags
     this as a correctness quirk; we match the observable behavior);
   * fixed-base G uses constant window tables (no in-circuit doublings),
-    variable-base PK uses blinded double-and-add (ops/secp256k1.py) —
-    the role of the reference's GLV windowed MSM (glv.rs:151-255).
+    variable-base PK uses the GLV endomorphism split + dual half-width
+    windowed MSM (ops/glv.py, the glv.rs:50-255 analog).
 We additionally assert PK is on the curve (y^2 = x^3 + 7), which the
 reference leaves implicit.
 """
@@ -22,10 +22,10 @@ from __future__ import annotations
 from typing import List
 
 from .bigint import big_from_bytes_be, big_le_bool
+from .glv import glv_mul
 from .secp256k1 import (GX, GY, N_SCALAR, PointTarget, fixed_base_mul,
                         nn_assert_canonical, nn_from_big, nn_inv, nn_mul,
-                        point_add, point_assert_on_curve,
-                        windowed_scalar_mul, Q)
+                        point_add, point_assert_on_curve, Q)
 
 
 def _scalar_bits(b, nn) -> List[int]:
@@ -56,7 +56,7 @@ def verify_ecdsa_in_circuit(b, pk_x_bytes, pk_y_bytes, sig_bytes,
     u2 = nn_mul(b, r, s_inv)
 
     r1 = fixed_base_mul(b, (GX, GY), _scalar_bits(b, u1))
-    r2 = windowed_scalar_mul(b, pk, _scalar_bits(b, u2))
+    r2 = glv_mul(b, pk, u2)
     big_r = point_add(b, r1, r2)
 
     # R.x is only weakly normalized; pin it below the field modulus so the

@@ -129,26 +129,35 @@ def ext_powers_table(G, E, z_scal, n: int):
     return (re[0][:n], re[1][:n]), (im[0][:n], im[1][:n])
 
 
-def ext_scalar_powers(E, z_scal, count: int):
-    """[z^0 .. z^(count-1)] as a list of () scalar ext pairs.
+def ext_powers4(G, E, z_scal, count: int):
+    """[z^0 .. z^(count-1)] as a stacked 4-tuple of (count,) u32 arrays
+    (re_lo, re_hi, im_lo, im_hi) — the al4/fa4 layout.  Array-shaped
+    log-doubling: O(log count) vector E.muls instead of O(count) scalar
+    ones (each scalar ext mul alone is ~700 jaxpr eqns of limb math; the
+    earlier per-scalar list made the fused graph 300k+ eqns)."""
+    re, im = ext_powers_table(G, E, z_scal, count)
+    return (re[0], re[1], im[0], im[1])
 
-    Built by binary decomposition (power[i] = power[i - 2^msb] * z^(2^msb))
-    so the dependent-multiply depth is O(log count), not O(count) — the
-    sequential chain hits the XLA fusion duplication blowup
-    (prove.tree_fold)."""
-    xp = E.G.xp
-    one = ((xp.uint32(1), xp.uint32(0)), (xp.uint32(0), xp.uint32(0)))
-    if count == 1:
-        return [one]
-    sq = [z_scal]
-    while (1 << len(sq)) < count:
-        sq.append(E.mul(sq[-1], sq[-1]))
-    out = [one]
-    for i in range(1, count):
-        msb = i.bit_length() - 1
-        rem = i - (1 << msb)
-        out.append(sq[msb] if rem == 0 else E.mul(out[rem], sq[msb]))
-    return out
+
+def ext_dot4(G, E, ys4, alphas4):
+    """sum_i alphas[i] * ys[i] over stacked (C,) ext arrays -> () scalar
+    ext pair.  One vectorized E.mul then a log-depth halving reduction
+    (zero-padded to a power of two; zero is additive identity)."""
+    xp = G.xp
+    y = ((ys4[0], ys4[1]), (ys4[2], ys4[3]))
+    a = ((alphas4[0], alphas4[1]), (alphas4[2], alphas4[3]))
+    (rl, rh), (il, ih) = E.mul(y, a)
+    k = rl.shape[0]
+    m = 1 << (k - 1).bit_length()
+    if m != k:
+        pad = (0, m - k)
+        rl, rh, il, ih = (xp.pad(v, pad) for v in (rl, rh, il, ih))
+    while rl.shape[0] > 1:
+        h = rl.shape[0] // 2
+        lo = ((rl[:h], rh[:h]), (il[:h], ih[:h]))
+        hi = ((rl[h:], rh[h:]), (il[h:], ih[h:]))
+        (rl, rh), (il, ih) = E.add(lo, hi)
+    return ((rl[0], rh[0]), (il[0], ih[0]))
 
 
 def merkle_levels_graph(pk, matrix):
@@ -307,11 +316,7 @@ def _fused_graph(pk, args):
     else:
         z0 = xp.zeros(n, xp.uint32)
         pi_pair = (z0, z0)
-    alphas = ext_scalar_powers(E, alpha, pk.num_constraints)
-    al4 = (xp.stack([a[0][0] for a in alphas]),
-           xp.stack([a[0][1] for a in alphas]),
-           xp.stack([a[1][0] for a in alphas]),
-           xp.stack([a[1][1] for a in alphas]))
+    al4 = ext_powers4(G, E, alpha, pk.num_constraints)
     q_cols = quotient_body(pk, const_oracle.lde, wires_oracle.lde,
                            z_oracle.lde, pi_pair, x_lde, k_dev,
                            zh_inv, zh, _ext_scal_c(beta),
@@ -345,27 +350,19 @@ def _fused_graph(pk, args):
     lde_list = [o.lde for o in oracles]
     ncols = sum(p[0].shape[1] for p in lde_list)
     zcols = 2 * pk.num_z_ext
-    f_alphas = ext_scalar_powers(E, fri_alpha, ncols + zcols)
-    fa4 = (xp.stack([a[0][0] for a in f_alphas]),
-           xp.stack([a[0][1] for a in f_alphas]),
-           xp.stack([a[1][0] for a in f_alphas]),
-           xp.stack([a[1][1] for a in f_alphas]))
+    fa4 = ext_powers4(G, E, fri_alpha, ncols + zcols)
 
-    # y1 = sum_i alpha^i y_i over [const, wires, z, quotient] openings
-    def scal_ext(re, im, j):
-        return ((re[0][j], re[1][j]), (im[0][j], im[1][j]))
-
-    from .prove import tree_fold
-    ys = []
-    for (re, im) in [open_const, open_wires, open_z, open_quot]:
-        for j in range(re[0].shape[0]):
-            ys.append(scal_ext(re, im, j))
-    y1 = tree_fold(E.add, [E.mul(yv, a)
-                           for yv, a in zip(ys, f_alphas[:ncols])])
-    y2 = tree_fold(E.add, [
-        E.mul(scal_ext(open_z_next[0], open_z_next[1], j),
-              f_alphas[ncols + j])
-        for j in range(open_z_next[0][0].shape[0])])
+    # y1 = sum_i alpha^i y_i over [const, wires, z, quotient] openings,
+    # y2 the same over the z_next openings — both as vectorized ext dots
+    y_opens = [open_const, open_wires, open_z, open_quot]
+    ys4 = (xp.concatenate([o[0][0] for o in y_opens]),
+           xp.concatenate([o[0][1] for o in y_opens]),
+           xp.concatenate([o[1][0] for o in y_opens]),
+           xp.concatenate([o[1][1] for o in y_opens]))
+    y1 = ext_dot4(G, E, ys4, tuple(v[:ncols] for v in fa4))
+    zn4 = (open_z_next[0][0], open_z_next[0][1],
+           open_z_next[1][0], open_z_next[1][1])
+    y2 = ext_dot4(G, E, zn4, tuple(v[ncols:ncols + zcols] for v in fa4))
 
     F = fri_combine_body(pk, lde_list, z_oracle.lde, x_lde, fa4,
                          _ext_scal_c(y1), _ext_scal_c(y2),
