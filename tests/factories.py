@@ -144,6 +144,137 @@ def fibonacci(n_steps=10, brillig_noise=True):
     return program(c), wm
 
 
+def seven_function(x=9):
+    """fixture 7_function shape: a Call opcode in the stream (translation
+    no-op, mod.rs:98-104 — callee outputs arrive pre-solved in the witness
+    file) whose output is then constrained by main's own AssertZero."""
+    # w0 = x (private), w1 = x + 1 via AssertZero, Call f(w1) -> w2,
+    # main asserts w2 == w1 (the inlined callee is the identity)
+    ops = [
+        ir.AssertZero(expr(lin=[(1, 0), (P - 1, 1)], q_c=1)),
+        ir.Call(1, (1,), (2,)),
+        ir.AssertZero(expr(lin=[(1, 1), (P - 1, 2)])),
+    ]
+    c = circuit(ops, 3, private=(0,), ret=(2,))
+    return program(c), {0: x, 1: x + 1, 2: x + 1}
+
+
+def array_dynamic(values=(10, 20, 30, 40, 50), windex=3, wvalue=77,
+                  rindex1=1, rindex2=3):
+    """fixture array_dynamic shape: non-power-of-two block (padded to 8,
+    memory_translator.rs:141-151), dynamic read, dynamic write, read-back —
+    exercising the index restriction against the real length."""
+    n = len(values)
+    w_r1i, w_r1v = n, n + 1
+    w_wi, w_wv = n + 2, n + 3
+    w_r2i, w_r2v = n + 4, n + 5
+    ops = [
+        ir.MemoryInit(0, tuple(range(n))),
+        ir.MemoryOp(0, ir.MemOp(expr(q_c=0), expr(lin=[(1, w_r1i)]),
+                                expr(lin=[(1, w_r1v)]))),
+        ir.MemoryOp(0, ir.MemOp(expr(q_c=1), expr(lin=[(1, w_wi)]),
+                                expr(lin=[(1, w_wv)]))),
+        ir.MemoryOp(0, ir.MemOp(expr(q_c=0), expr(lin=[(1, w_r2i)]),
+                                expr(lin=[(1, w_r2v)]))),
+    ]
+    c = circuit(ops, n + 6,
+                private=tuple(range(n)) + (w_r1i, w_wi, w_wv, w_r2i),
+                ret=(w_r1v, w_r2v))
+    wm = {i: v for i, v in enumerate(values)}
+    wm[w_r1i] = rindex1
+    wm[w_r1v] = values[rindex1]
+    wm[w_wi] = windex
+    wm[w_wv] = wvalue
+    final = list(values)
+    final[windex] = wvalue
+    wm[w_r2i] = rindex2
+    wm[w_r2v] = final[rindex2]
+    return program(c), wm
+
+
+# --- SHA-256 host compression (fixture construction only) ---------------------
+
+_SHA_K = [
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2,
+]
+
+SHA_IV = [0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+          0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19]
+
+
+def sha256_compress(state, block_words):
+    """Textbook SHA-256 compression of one 16-word block (host)."""
+    M = 0xFFFFFFFF
+
+    def rotr(x, r):
+        return ((x >> r) | (x << (32 - r))) & M
+
+    w = list(block_words)
+    for i in range(16, 64):
+        s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & M)
+    a, b, c, d, e, f, g, h = state
+    for i in range(64):
+        S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = (h + S1 + ch + _SHA_K[i] + w[i]) & M
+        S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (S0 + maj) & M
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & M, c, b, a, (t1 + t2) & M
+    return [(x + y) & M for x, y in zip(state, (a, b, c, d, e, f, g, h))]
+
+
+def sha256_multiblock(num_blocks=2, seed=0x1234):
+    """sha256_long analog: num_blocks chained Sha256Compression opcodes —
+    block i's state inputs are block i-1's output witnesses."""
+    wm = {}
+    w = 0
+    state_ws = []
+    for i in range(8):
+        wm[w] = SHA_IV[i]
+        state_ws.append(w)
+        w += 1
+    state_vals = list(SHA_IV)
+    ops = []
+    first_inputs = list(range(8))
+    for blk in range(num_blocks):
+        msg_ws = []
+        msg_vals = []
+        for i in range(16):
+            v = (seed * (blk * 16 + i + 1) * 2654435761) & 0xFFFFFFFF
+            wm[w] = v
+            msg_ws.append(w)
+            msg_vals.append(v)
+            w += 1
+        out_ws = list(range(w, w + 8))
+        state_vals = sha256_compress(state_vals, msg_vals)
+        for ow, ov in zip(out_ws, state_vals):
+            wm[ow] = ov
+        w += 8
+        ops.append(ir.BlackBoxSha256Compression(
+            tuple(fi(x, 32) for x in msg_ws),
+            tuple(fi(x, 32) for x in state_ws),
+            tuple(out_ws)))
+        state_ws = out_ws
+    priv = tuple(range(8)) + tuple(
+        x for op in ops for x in (f.witness for f in op.inputs))
+    c = circuit(ops, w, private=priv, ret=tuple(state_ws))
+    del first_inputs
+    return program(c), wm
+
+
 def _ecdsa_sign(msg_hash: int, priv: int, k: int):
     """Host-side textbook ECDSA signature (for fixture construction only)."""
     from tpu_acir_prover.ops import secp256k1 as sec
@@ -208,4 +339,13 @@ ALL_SMALL = {
     "memory_read": basic_memory_read,
     "memory_write": memory_write_then_read,
     "fibonacci": fibonacci,
+    "7_function": seven_function,
+    "array_dynamic": array_dynamic,
+}
+
+# Heavy fixtures (sha256_long / ecdsa_secp256k1 class): proven through the
+# full pipeline in slow-marked tests (tests/test_sha256.py, test_ecdsa_e2e.py)
+ALL_HEAVY = {
+    "sha256_multiblock": sha256_multiblock,
+    "ecdsa_secp256k1": ecdsa_secp256k1,
 }

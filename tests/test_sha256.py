@@ -84,6 +84,32 @@ def test_sha256_opcode_prove_verify():
         prove(pk, tr.external_values(bad), check_constraints=True)
 
 
+def test_sha256_multiblock_witness():
+    """sha256_long analog (chained compressions): witness-level check of
+    the 2-block factory through the translator (fast; the prove variant is
+    slow-marked below)."""
+    import factories
+    prog, wm = factories.sha256_multiblock(num_blocks=2)
+    tr = translate_program(prog)
+    cc = compile_circuit(tr.builder)
+    vals = cc.generate_witness(tr.external_values(wm))
+    assert cc.check_constraints(vals) is None
+    from tpu_acir_prover.acir.translator import check_linked_outputs
+    check_linked_outputs(tr, cc, prog.functions[0])
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="2^17-row prove; RUN_SLOW=1")
+def test_sha256_multiblock_prove_verify():
+    import factories
+    prog, wm = factories.sha256_multiblock(num_blocks=2)
+    tr = translate_program(prog)
+    cc = compile_circuit(tr.builder)
+    pk = ProvingKey(cc, TEST_CONFIG, xp=np)
+    proof = prove(pk, tr.external_values(wm), check_constraints=True)
+    verify(pk.vk, proof)
+
+
 def test_gadget_matches_reference_directly():
     """Witness-level check without proving (fast row-count sanity too)."""
     rng = np.random.default_rng(5)
