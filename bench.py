@@ -36,7 +36,12 @@ def bench_prove():
 
     from tpu_acir_prover.utils.timing import env_timer
 
-    if os.environ.get("BENCH_FUSED", "1") != "0":
+    # fused single-program prover up to 2^18 rows; above that the one
+    # program's full oracle liveness exceeds a v5e chip's 16G HBM (measured:
+    # 16.64G at 2^20), so large traces use the per-phase path whose
+    # inter-phase temps are freed between programs
+    fused_default = "1" if LOG_N <= 18 else "0"
+    if os.environ.get("BENCH_FUSED", fused_default) != "0":
         from tpu_acir_prover.prover.fused import prove_fused as prove
 
     cc = mul_chain_circuit(LOG_N)

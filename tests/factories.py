@@ -294,18 +294,30 @@ def ecdsa_secp256k1(valid=True):
     h = 0x9C1185A5C5E9FC54612808977EE8F548B2258D31A8D56F98AD214D06BBA2F9D2 \
         % sec.N_SCALAR
     r, s = _ecdsa_sign(h, priv, k=0xDEADBEEF)
-    if not valid:
-        s ^= 1
-    # expected output = the reference's quirky `r <= R.x` comparison
-    # (ecdsa_secp256k1_translator.rs:38-59), computed host-side so the
-    # invalid-signature fixture is deterministic
     n = sec.N_SCALAR
-    s_inv = pow(s, -1, n)
-    u1, u2 = h * s_inv % n, r * s_inv % n
-    R = sec._add_const(sec._mult(u1, (sec.GX, sec.GY)), sec._mult(u2, pk))
-    expected = 1 if r <= R[0] else 0
+
+    def _expected(sv):
+        # the reference's quirky `r <= R.x` comparison
+        # (ecdsa_secp256k1_translator.rs:38-59), computed host-side
+        s_inv = pow(sv, -1, n)
+        u1, u2 = h * s_inv % n, r * s_inv % n
+        R = sec._add_const(sec._mult(u1, (sec.GX, sec.GY)), sec._mult(u2, pk))
+        return 1 if r <= R[0] else 0
+
+    if not valid:
+        # a blind tamper flips the output only with prob ~1/2 under the
+        # <=-comparison semantics; scan small tweaks for a deterministic 0
+        for tweak in range(1, 64):
+            if _expected(s ^ tweak) == 0:
+                s ^= tweak
+                break
+        else:
+            raise AssertionError("no tamper tweak produced output 0")
+    expected = _expected(s)
     if valid:
         assert expected == 1
+    else:
+        assert expected == 0
 
     w = 0
     groups = []

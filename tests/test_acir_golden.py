@@ -120,5 +120,12 @@ def test_truncation_fuzz():
     for cut in range(funcs_len):
         with pytest.raises(AcirDecodeError):
             codec.deserialize_program(data[:cut])
-    # cutting only the opaque tail still parses (tail is carried verbatim)
+    # cutting the whole tail still parses (empty = no unconstrained fns)...
     codec.deserialize_program(data[:funcs_len])
+    # ...but a PARTIAL tail (truncated count / trailing garbage) must not
+    # round-trip silently
+    for cut in range(funcs_len + 1, len(data)):
+        with pytest.raises(AcirDecodeError):
+            codec.deserialize_program(data[:cut])
+    with pytest.raises(AcirDecodeError):
+        codec.deserialize_program(data + b"\x99")

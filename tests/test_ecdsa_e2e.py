@@ -27,6 +27,10 @@ def _compile_ecdsa(valid=True):
     return tr, cc, wm
 
 
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="full-size (2^17-row) prove takes ~1h on the "
+                           "2-core CI box; RUN_SLOW=1 (exercised on TPU by "
+                           "bench.py BENCH_MODE=ecdsa every round)")
 def test_ecdsa_prove_verify():
     import jax.numpy as jnp
     tr, cc, wm = _compile_ecdsa()
@@ -38,15 +42,19 @@ def test_ecdsa_prove_verify():
 
 def test_ecdsa_invalid_signature_output():
     """A tampered s still proves (the circuit computes the boolean), but
-    the output witness must be 0 — and claiming 1 must be unsatisfiable."""
+    the output witness must be 0 — and claiming 1 must violate a
+    constraint.  Checked at the witness/constraint layer directly (no
+    ProvingKey: a 2^17-row numpy commit takes minutes on the CI box and
+    adds nothing here)."""
     tr, cc, wm = _compile_ecdsa(valid=False)
     out_w = max(wm)
     assert wm[out_w] == 0
+    vals = cc.generate_witness(tr.external_values(wm))
+    assert cc.check_constraints(vals) is None
     bad = dict(wm)
     bad[out_w] = 1
-    pk_np = ProvingKey(cc, TEST_CONFIG, xp=np)
-    with pytest.raises(AssertionError):
-        prove(pk_np, tr.external_values(bad), check_constraints=True)
+    bad_vals = cc.generate_witness(tr.external_values(bad))
+    assert cc.check_constraints(bad_vals) is not None
 
 
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",

@@ -575,10 +575,27 @@ def write_circuit(w: Writer, c: ir.Circuit):
 
 
 def deserialize_program(data: bytes) -> ir.Program:
-    """bincode(Program) from gunzipped bytes; Brillig tail kept opaque."""
+    """bincode(Program) from gunzipped bytes; Brillig tail kept opaque.
+
+    The tail (Vec<BrilligBytecode>) is carried verbatim, not parsed — but
+    its 8-byte element count is validated so a truncated/corrupt artifact
+    can't round-trip silently (an empty tail means "no unconstrained
+    functions" and re-encodes as a zero count)."""
     r = Reader(data)
     functions = [read_circuit(r) for _ in range(r.seq_len())]
     tail = r.b[r.o:]
+    if tail:
+        if len(tail) < 8:
+            raise AcirDecodeError(
+                f"truncated unconstrained-functions tail ({len(tail)} bytes)")
+        count = struct.unpack("<Q", tail[:8])[0]
+        if count > 1 << 32:
+            raise AcirDecodeError(
+                f"implausible unconstrained-function count {count}")
+        if count == 0 and len(tail) != 8:
+            raise AcirDecodeError(
+                f"{len(tail) - 8} trailing bytes after an empty "
+                f"unconstrained-functions vec")
     return ir.Program(functions, tail if tail else b"\x00" * 8)
 
 

@@ -61,9 +61,13 @@ def load_and_compile(bytecode_path: str, config: ProofConfig = STANDARD_CONFIG,
 def _prove_dispatch(pk, ext):
     """jax backend defaults to the fused single-program prover (one compiled
     XLA program, one host<->device round trip — tests/test_fused.py asserts
-    byte-identity with the per-phase path); TPU_ACIR_FUSED=0 opts out."""
+    byte-identity with the per-phase path) for traces up to 2^18 rows;
+    larger traces use the per-phase path, whose inter-phase temporaries are
+    freed between programs (the fused program's full oracle liveness
+    exceeds one v5e chip's 16G HBM at 2^20).  TPU_ACIR_FUSED=0/1 forces."""
     is_jax = pk.G.xp is not np
-    if is_jax and os.environ.get("TPU_ACIR_FUSED", "1") != "0":
+    fused_default = "1" if pk.n <= (1 << 18) else "0"
+    if is_jax and os.environ.get("TPU_ACIR_FUSED", fused_default) != "0":
         from .prover.fused import prove_fused
         return prove_fused(pk, ext)
     return prove(pk, ext)

@@ -1,20 +1,28 @@
-"""Poseidon permutation over Goldilocks, width 12 — our own instantiation.
+"""Poseidon2 permutation over Goldilocks, width 12 — our own instantiation.
 
 Role: the algebraic hash used for Merkle commitments and the Fiat-Shamir
 challenger, the TPU-native analog of plonky2's internal Poseidon hasher
 (reference config at /root/reference/plonky2-backend/src/lib.rs:11-13).
 
-Instantiation (deliberately NOT plonky2's constants — we are not targeting
-byte-compatibility this round; see docs/DESIGN.md):
-  - width t = 12, rate 8, capacity 4
-  - sbox x^7  (gcd(7, p-1) = 1)
-  - 8 full rounds (4 + 4) and 22 partial rounds, the standard parameter
-    choice for t=12, alpha=7 at 128-bit security
-  - round constants derived from SHA-256 in counter mode (nothing up our
-    sleeves), reduced mod p
-  - MDS matrix: Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i,
-    y_j = 12 + j, which is provably MDS over any prime field where all
-    x_i + y_j are nonzero (true here: 12..34 < p)
+Why Poseidon2 (Grassi-Khovratovich-Schofnegger 2023 structure) and not
+classic Poseidon: Merkle leaf hashing is the dominant prover cost on a TPU
+(every LDE row of every oracle is sponge-hashed), and the classic t=12
+Cauchy MDS costs 144 generic field muls per round.  Poseidon2 replaces it
+with an external matrix made entirely of small add-chains (zero generic
+muls) and an internal matrix costing 12 muls + a tree sum — ~5x fewer
+32-bit-limb multiplies per permutation, the VPU's unit of work.
+
+Instantiation (deliberately NOT a published constant set — we are not
+targeting byte-compatibility; see docs/DESIGN.md):
+  - width t = 12, rate 8, capacity 4, sbox x^7 (gcd(7, p-1) = 1)
+  - 8 external rounds (4 + 4) and 22 internal rounds, the standard
+    parameter choice for t = 12, alpha = 7 at 128-bit security
+  - external matrix M_E = circ(2*M4, M4, M4) with the paper's M4
+    add-chain; internal matrix M_I = all-ones + diag(mu_i - 1)
+    (out_i = sum_j x_j + (mu_i - 1) * x_i)
+  - round constants and the internal diagonal mu derived from SHA-256 in
+    counter mode (nothing up our sleeves), reduced mod p; the diagonal is
+    re-derived until M_I is invertible (det != 0 mod p)
 
 TPU-first layout: the state is a single stacked (12, *batch) (lo, hi)
 uint32 pair, rounds run under lax.scan on the JAX backend (tiny jaxpr,
@@ -33,35 +41,79 @@ WIDTH = 12
 RATE = 8
 CAP = 4
 DIGEST = 4
-FULL_ROUNDS = 8
-PARTIAL_ROUNDS = 22
-N_ROUNDS = FULL_ROUNDS + PARTIAL_ROUNDS
+EXTERNAL_ROUNDS = 8  # 4 at the beginning + 4 at the end
+INTERNAL_ROUNDS = 22
 ALPHA = 7
 
 
+def _h64(tag: str) -> int:
+    h = hashlib.sha256(tag.encode()).digest()
+    return int.from_bytes(h[:8], "little") % _gl.P
+
+
 def _derive_round_constants():
-    rc = np.zeros((N_ROUNDS, WIDTH), dtype=np.uint64)
-    for r in range(N_ROUNDS):
+    """External rounds use full-width constants; internal rounds add a
+    constant to lane 0 only (stored in column 0)."""
+    ext = np.zeros((EXTERNAL_ROUNDS, WIDTH), dtype=np.uint64)
+    for r in range(EXTERNAL_ROUNDS):
         for i in range(WIDTH):
-            h = hashlib.sha256(f"tpu-acir-prover.poseidon.rc.{r}.{i}".encode()).digest()
-            rc[r, i] = int.from_bytes(h[:8], "little") % _gl.P
-    return rc
+            ext[r, i] = _h64(f"tpu-acir-prover.poseidon2.ext.{r}.{i}")
+    internal = np.zeros(INTERNAL_ROUNDS, dtype=np.uint64)
+    for r in range(INTERNAL_ROUNDS):
+        internal[r] = _h64(f"tpu-acir-prover.poseidon2.int.{r}")
+    return ext, internal
 
 
-def _derive_mds():
-    m = np.zeros((WIDTH, WIDTH), dtype=np.uint64)
-    for i in range(WIDTH):
-        for j in range(WIDTH):
-            m[i, j] = _gl.s_inv(i + j + 12)
-    return m
+def _derive_diag():
+    """Internal-matrix diagonal mu: M_I = J + diag(mu - 1) (J = all-ones),
+    i.e. M_I[i][j] = 1 for i != j and mu_i on the diagonal.  Re-derive
+    until det(M_I) != 0 mod p (a random matrix is invertible w.h.p.)."""
+    ctr = 0
+    while True:
+        mu = [_h64(f"tpu-acir-prover.poseidon2.diag.{ctr}.{i}")
+              for i in range(WIDTH)]
+        # det via Gaussian elimination mod p
+        m = [[1] * WIDTH for _ in range(WIDTH)]
+        for i in range(WIDTH):
+            m[i][i] = mu[i]
+        det = 1
+        singular = False
+        for c in range(WIDTH):
+            piv = next((r for r in range(c, WIDTH) if m[r][c]), None)
+            if piv is None:
+                singular = True
+                break
+            if piv != c:
+                m[c], m[piv] = m[piv], m[c]
+                det = _gl.P - det
+            det = det * m[c][c] % _gl.P
+            inv = pow(m[c][c], _gl.P - 2, _gl.P)
+            for r in range(c + 1, WIDTH):
+                f = m[r][c] * inv % _gl.P
+                if f:
+                    for k in range(c, WIDTH):
+                        m[r][k] = (m[r][k] - f * m[c][k]) % _gl.P
+        if not singular and det:
+            return np.array(mu, dtype=np.uint64)
+        ctr += 1
 
 
-ROUND_CONSTANTS = _derive_round_constants()  # (30, 12) uint64
-MDS = _derive_mds()  # (12, 12) uint64
+# the Poseidon2 paper's M4; M_E = circ(2*M4, M4, M4) expanded to 12x12
+_M4 = [[5, 7, 1, 3], [4, 6, 1, 1], [1, 3, 5, 7], [1, 1, 4, 6]]
+_ME_INT = [[(2 if a == b else 1) * _M4[i][j]
+            for b in range(WIDTH // 4) for j in range(4)]
+           for a in range(WIDTH // 4) for i in range(4)]
+
+_EXT_RC, _INT_RC = _derive_round_constants()
+ROUND_CONSTANTS = _EXT_RC  # (8, 12) uint64 — external-round constants
+INTERNAL_CONSTANTS = _INT_RC  # (22,) uint64
+DIAG = _derive_diag()  # (12,) uint64: internal-matrix diagonal mu
+# precomputed mu - 1 for the out_i = sum + (mu_i - 1) x_i form
+DIAG_M1 = ((DIAG.astype(object) - 1) % _gl.P).astype(np.uint64)
 
 
 def make_poseidon(G):
-    """Poseidon ops over a field namespace ``G = make_gl(xp)``.
+    """Poseidon2 ops over a field namespace ``G = make_gl(xp)``.
 
     States/digests are stacked (lo, hi) uint32 array pairs with a leading
     lane axis: state shape (12, *batch), digest shape (4, *batch).
@@ -69,50 +121,15 @@ def make_poseidon(G):
     xp = G.xp
     is_jax = "jax" in getattr(xp, "__name__", "")
 
-    rc_lo_np = (ROUND_CONSTANTS & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    rc_hi_np = (ROUND_CONSTANTS >> np.uint64(32)).astype(np.uint32)
-    mds_lo_np = (MDS & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    mds_hi_np = (MDS >> np.uint64(32)).astype(np.uint32)
+    ext_lo_np = (_EXT_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    ext_hi_np = (_EXT_RC >> np.uint64(32)).astype(np.uint32)
+    int_lo_np = (_INT_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    int_hi_np = (_INT_RC >> np.uint64(32)).astype(np.uint32)
+    dm1_lo_np = (DIAG_M1 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dm1_hi_np = (DIAG_M1 >> np.uint64(32)).astype(np.uint32)
 
     def _bshape(extra_rank):
         return (WIDTH,) + (1,) * extra_rank
-
-    def _mds_layer_py(state):
-        """out[i] = sum_j MDS[i, j] * state[j], via 12 broadcast mul-adds."""
-        lo, hi = state
-        extra = lo.ndim - 1
-        acc = None
-        for j in range(WIDTH):
-            col = (xp.asarray(mds_lo_np[:, j]).reshape(_bshape(extra)),
-                   hp_asarray(mds_hi_np[:, j]).reshape(_bshape(extra)))
-            sj = (lo[j:j + 1], hi[j:j + 1])  # (1, *batch) broadcasts against (12, 1..)
-            term = G.mul(col, sj)
-            acc = term if acc is None else G.add(acc, term)
-        return acc
-
-    hp_asarray = xp.asarray
-
-    if is_jax:
-        from jax import lax as _lax
-
-        def _mds_layer(state):
-            """Scan over the 12 MDS columns: ~12x smaller jaxpr than the
-            unrolled loop (keeps whole-prover jit compiles fast)."""
-            lo, hi = state
-            extra = lo.ndim - 1
-            cols_lo = xp.asarray(mds_lo_np.T).reshape((WIDTH,) + _bshape(extra))
-            cols_hi = xp.asarray(mds_hi_np.T).reshape((WIDTH,) + _bshape(extra))
-
-            def body(acc, xs):
-                clo, chi, sl, sh = xs
-                term = G.mul((clo, chi), (sl[None], sh[None]))
-                return (G.add(acc, term)), None
-
-            z = xp.zeros_like(lo)
-            (acc, _) = _lax.scan(body, (z, z), (cols_lo, cols_hi, lo, hi))
-            return acc
-    else:
-        _mds_layer = _mds_layer_py
 
     def _sbox(x):
         x2 = G.mul(x, x)
@@ -120,57 +137,120 @@ def make_poseidon(G):
         x6 = G.mul(x3, x3)
         return G.mul(x6, x)
 
-    def _add_rc(state, rc):
-        # rc: (lo, hi) of shape (12,), broadcast over batch
-        extra = state[0].ndim - 1
-        return G.add(state, (rc[0].reshape(_bshape(extra)), rc[1].reshape(_bshape(extra))))
+    u32 = xp.uint32
 
-    def _full_round(state, rc):
+    def _limbs4(state):
+        """(12, *batch) (lo, hi) u32 pair -> four (12, *batch) u16-limb
+        arrays (still u32 dtype), least-significant first."""
+        lo, hi = state
+        mask = u32(0xFFFF)
+        return (lo & mask, lo >> u32(16), hi & mask, hi >> u32(16))
+
+    def _recombine_reduce(a0, a1, a2, a3):
+        """Four u16-weighted accumulators (each < 2^25) -> canonical field
+        element: carry-propagate into (lo, hi, overflow) then reduce128.
+        Flat, shallow dataflow — safe against the XLA fusion-duplication
+        blowup that deep add chains trigger (see tree_fold in prove.py)."""
+        mask = u32(0xFFFF)
+        t1 = (a0 >> u32(16)) + a1
+        t2 = (t1 >> u32(16)) + a2
+        t3 = (t2 >> u32(16)) + a3
+        lo = (a0 & mask) | ((t1 & mask) << u32(16))
+        hi = (t2 & mask) | ((t3 & mask) << u32(16))
+        ovf = t3 >> u32(16)
+        return G.reduce128(lo, hi, ovf, xp.zeros_like(ovf))
+
+    me_f32 = np.array(_ME_INT, dtype=np.float32)  # (12, 12), entries <= 14
+    if is_jax:
+        from jax import lax as _plax
+        _matmul_kw = dict(precision=_plax.Precision.HIGHEST)
+    else:
+        _matmul_kw = {}
+
+    def _external_matrix(state):
+        """M_E = circ(2*M4, M4, M4) as one small-integer matmul per u16
+        limb, computed EXACTLY in float32: products < 2^20 and sums of 12
+        of them < 2^24 stay inside the f32 mantissa.  One einsum per limb
+        hits the optimized matmul path on every backend (the MXU on TPU)
+        with a tiny jaxpr, then one field reduction per output lane; the
+        dataflow stays shallow — deep add chains trigger the XLA
+        fusion-duplication blowup (see tree_fold in prove.py)."""
+        mf = xp.asarray(me_f32)
+        accs = [xp.einsum("ij,j...->i...", mf,
+                          limb.astype(xp.float32),
+                          **_matmul_kw).astype(u32)
+                for limb in _limbs4(state)]  # 4 x (12, *batch), < 2^24
+        return _recombine_reduce(*accs)
+
+    def _internal_matrix(state):
+        """out_i = sum_j x_j + (mu_i - 1) * x_i (M_I = J + diag(mu - 1)).
+        The all-ones sum uses the same exact u16-limb accumulation
+        (sums < 2^20); the diagonal is a full-width random constant, so it
+        costs 12 real field muls."""
+        lo, hi = state
+        extra = lo.ndim - 1
+        accs = [limb.sum(axis=0) for limb in _limbs4(state)]  # < 2^20
+        s = _recombine_reduce(*accs)  # (*batch,)
+        d = (xp.asarray(dm1_lo_np).reshape(_bshape(extra)),
+             xp.asarray(dm1_hi_np).reshape(_bshape(extra)))
+        dx = G.mul(d, state)
+        return G.add(dx, (s[0][None], s[1][None]))
+
+    def _add_rc(state, rc):
+        extra = state[0].ndim - 1
+        return G.add(state, (rc[0].reshape(_bshape(extra)),
+                             rc[1].reshape(_bshape(extra))))
+
+    def _external_round(state, rc):
         state = _add_rc(state, rc)
         state = _sbox(state)
-        return _mds_layer(state)
+        return _external_matrix(state)
 
-    def _partial_round(state, rc):
-        state = _add_rc(state, rc)
+    def _internal_round(state, rc):
+        # rc: ((), ()) scalar pair added to lane 0 only
         lo, hi = state
-        s0 = _sbox((lo[0:1], hi[0:1]))
+        l0 = (lo[0:1], hi[0:1])
+        l0 = G.add(l0, (rc[0].reshape((1,) + (1,) * (lo.ndim - 1)),
+                        rc[1].reshape((1,) + (1,) * (lo.ndim - 1))))
+        s0 = _sbox(l0)
         state = (xp.concatenate([s0[0], lo[1:]], axis=0),
                  xp.concatenate([s0[1], hi[1:]], axis=0))
-        return _mds_layer(state)
+        return _internal_matrix(state)
+
+    half = EXTERNAL_ROUNDS // 2
 
     def _permute_python(state):
-        r = 0
-        for _ in range(FULL_ROUNDS // 2):
-            state = _full_round(state, (xp.asarray(rc_lo_np[r]), xp.asarray(rc_hi_np[r])))
-            r += 1
-        for _ in range(PARTIAL_ROUNDS):
-            state = _partial_round(state, (xp.asarray(rc_lo_np[r]), xp.asarray(rc_hi_np[r])))
-            r += 1
-        for _ in range(FULL_ROUNDS // 2):
-            state = _full_round(state, (xp.asarray(rc_lo_np[r]), xp.asarray(rc_hi_np[r])))
-            r += 1
+        state = _external_matrix(state)
+        for r in range(half):
+            state = _external_round(
+                state, (xp.asarray(ext_lo_np[r]), xp.asarray(ext_hi_np[r])))
+        for r in range(INTERNAL_ROUNDS):
+            state = _internal_round(
+                state, (xp.asarray(int_lo_np[r]), xp.asarray(int_hi_np[r])))
+        for r in range(half, EXTERNAL_ROUNDS):
+            state = _external_round(
+                state, (xp.asarray(ext_lo_np[r]), xp.asarray(ext_hi_np[r])))
         return state
 
     if is_jax:
         from jax import lax
 
-        def _scan_rounds(state, lo_slice, hi_slice, round_fn):
+        def _scan_rounds(state, lo_c, hi_c, round_fn):
             def body(carry, rc):
                 return round_fn(carry, rc), None
 
-            state, _ = lax.scan(body, state, (xp.asarray(lo_slice), xp.asarray(hi_slice)))
+            state, _ = lax.scan(body, state,
+                                (xp.asarray(lo_c), xp.asarray(hi_c)))
             return state
 
         def permute(state):
-            h = FULL_ROUNDS // 2
-            state = _scan_rounds(state, rc_lo_np[:h], rc_hi_np[:h],
-                                 lambda s, rc: _full_round(s, rc))
-            state = _scan_rounds(state, rc_lo_np[h:h + PARTIAL_ROUNDS],
-                                 rc_hi_np[h:h + PARTIAL_ROUNDS],
-                                 lambda s, rc: _partial_round(s, rc))
-            state = _scan_rounds(state, rc_lo_np[h + PARTIAL_ROUNDS:],
-                                 rc_hi_np[h + PARTIAL_ROUNDS:],
-                                 lambda s, rc: _full_round(s, rc))
+            state = _external_matrix(state)
+            state = _scan_rounds(state, ext_lo_np[:half], ext_hi_np[:half],
+                                 _external_round)
+            state = _scan_rounds(state, int_lo_np, int_hi_np,
+                                 _internal_round)
+            state = _scan_rounds(state, ext_lo_np[half:], ext_hi_np[half:],
+                                 _external_round)
             return state
     else:
         permute = _permute_python
@@ -214,8 +294,10 @@ def make_poseidon(G):
 # Scalar (python-int) permutation for the host challenger and proof
 # verification paths — ~1000x faster than tiny-batch numpy for single states.
 
-_RC_INT = [[int(ROUND_CONSTANTS[r, i]) for i in range(WIDTH)] for r in range(N_ROUNDS)]
-_MDS_INT = [[int(MDS[i, j]) for j in range(WIDTH)] for i in range(WIDTH)]
+_EXT_INT = [[int(_EXT_RC[r, i]) for i in range(WIDTH)]
+            for r in range(EXTERNAL_ROUNDS)]
+_INT_INT = [int(v) for v in _INT_RC]
+_DIAG_M1_INT = [int(v) for v in DIAG_M1]
 _P = _gl.P
 
 
@@ -225,30 +307,35 @@ def _sbox_int(x):
     return x3 * x3 % _P * x % _P
 
 
-def _mds_int(state):
-    return [sum(_MDS_INT[i][j] * state[j] for j in range(WIDTH)) % _P
+def _external_matrix_int(state):
+    return [sum(_ME_INT[i][j] * state[j] for j in range(WIDTH)) % _P
             for i in range(WIDTH)]
 
 
+def _internal_matrix_int(state):
+    s = sum(state) % _P
+    return [(s + _DIAG_M1_INT[i] * state[i]) % _P for i in range(WIDTH)]
+
+
 def permute_ints(state):
-    """Poseidon permutation on a list of 12 python ints (host scalar path).
+    """Poseidon2 permutation on a list of 12 python ints (host scalar path).
 
     Bit-identical to the vectorized `make_poseidon(...).permute` (tested)."""
     assert len(state) == WIDTH
-    r = 0
-    for _ in range(FULL_ROUNDS // 2):
-        state = [_sbox_int((state[i] + _RC_INT[r][i]) % _P) for i in range(WIDTH)]
-        state = _mds_int(state)
-        r += 1
-    for _ in range(PARTIAL_ROUNDS):
-        state = [(state[i] + _RC_INT[r][i]) % _P for i in range(WIDTH)]
-        state[0] = _sbox_int(state[0])
-        state = _mds_int(state)
-        r += 1
-    for _ in range(FULL_ROUNDS // 2):
-        state = [_sbox_int((state[i] + _RC_INT[r][i]) % _P) for i in range(WIDTH)]
-        state = _mds_int(state)
-        r += 1
+    state = _external_matrix_int(list(state))
+    half = EXTERNAL_ROUNDS // 2
+    for r in range(half):
+        state = [_sbox_int((state[i] + _EXT_INT[r][i]) % _P)
+                 for i in range(WIDTH)]
+        state = _external_matrix_int(state)
+    for r in range(INTERNAL_ROUNDS):
+        state = list(state)
+        state[0] = _sbox_int((state[0] + _INT_INT[r]) % _P)
+        state = _internal_matrix_int(state)
+    for r in range(half, EXTERNAL_ROUNDS):
+        state = [_sbox_int((state[i] + _EXT_INT[r][i]) % _P)
+                 for i in range(WIDTH)]
+        state = _external_matrix_int(state)
     return state
 
 

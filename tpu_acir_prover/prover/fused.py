@@ -33,7 +33,7 @@ from ..field.poseidon import DIGEST, RATE, WIDTH
 from .ntt import coset_intt, coset_lde, intt
 from .proof import (FriStep, Openings, OracleOpening, Proof, QueryRound)
 from .prove import (_mat_to_dev, fri_combine_body, fri_fold_body, open_body,
-                    quotient_body, round2_body)
+                    quotient_body, quotient_chunk_rows, round2_body)
 
 
 # ---------------------------------------------------------------------------
@@ -496,9 +496,10 @@ def prove_fused(pk, external_values: np.ndarray, timer=None) -> Proof:
             qlk=getattr(pk, "qlk_dev",
                         (G.xp.zeros(n, G.xp.uint32),) * 2),
         )
-        if "fused" not in pk._jits:
-            pk._jits["fused"] = jax.jit(lambda a: _fused_graph(pk, a))
-        out = pk._jits["fused"](args)
+        key = ("fused", quotient_chunk_rows(pk))
+        if key not in pk._jits:
+            pk._jits[key] = jax.jit(lambda a: _fused_graph(pk, a))
+        out = pk._jits[key](args)
         out = jax.device_get(out)
 
     with timer.phase("assemble"):

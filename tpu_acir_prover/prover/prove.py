@@ -35,6 +35,7 @@ gate + LogUp lookups; see circuit/builder.py for the row semantics):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -434,26 +435,30 @@ def round2_body(pk, wires_full, sig, xh, kdev, tbl, qlk,
     return lo, hi
 
 
-def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
-                  x_lde, kdev, zh_inv, zh,
-                  beta_d, gamma_d, lam_d, alphas4):
-    """alpha-combined constraints / Z_H on the LDE -> quotient coeff columns.
+def quotient_rows_body(pk, const_c, wires_full_c, z_c, zg_c, pi_c, x_c,
+                       kdev, zh_inv_c, zh_c, beta_d, gamma_d, lam_d,
+                       alphas4):
+    """alpha-combined constraints * Z_H^{-1} on a contiguous slice of LDE
+    rows -> the t(x) value slice (ext pair).
 
-    pi_pair: (n,) base pair of -PI values on H; alphas4: 4 arrays (ncons,)
-    of the constraint-combination ext powers."""
+    Purely elementwise over rows: the only cross-row dependence (the g*x
+    shift of Z and of the LogUp running sum S) enters via zg_c, the z
+    matrix pre-gathered at rows (row + rate) mod m.  This is what makes
+    the quotient row-CHUNKABLE — at 2^20 trace rows the full-domain
+    evaluation's temporaries alone exceed a v5e chip's HBM (measured
+    14.7G), so quotient_phase runs this body over row chunks."""
     G, E = pk.G, pk.E
     xp = G.xp
-    n, m = pk.n, pk.m
+    n = pk.n
     W = pk.W
-    nch = pk.num_chunks
-    rate = pk.config.rate
-    rate_bits = pk.config.rate_bits
     groups = pk.perm_groups
     lk_groups = pk.lk_groups
     has_lk = pk.has_lookups
-    clo, chi = const_lde
-    wlo, whi = wires_lde_full
-    zlo, zhi = z_lde
+    clo, chi = const_c
+    wlo, whi = wires_full_c
+    zlo, zhi = z_c
+    zglo, zghi = zg_c
+    rows = clo.shape[0]
     alr, ahr, ali, ahi_ = alphas4
 
     def col(mlo, mhi, j):
@@ -468,22 +473,19 @@ def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
               (ali[i].reshape(1), ahi_[i].reshape(1)))
         return E.mul(ai, cval)
 
-    pi_lde = coset_lde(G, intt(G, (pi_pair[0].reshape(n, 1),
-                                   pi_pair[1].reshape(n, 1))), rate_bits)
     wires = (wlo[:, :W], whi[:, :W])
     gate = gate_eval(G, (clo[:, :NUM_SELECTORS], chi[:, :NUM_SELECTORS]),
                      wires)
-    gate = G.add(gate, (pi_lde[0][:, 0], pi_lde[1][:, 0]))
+    gate = G.add(gate, (pi_c[0][:, 0], pi_c[1][:, 0]))
     # accumulate alpha^i * c_i as a list and tree-sum at the end (shallow
     # fusion depth — see tree_fold)
     terms = [base_to_ext(gate)]
 
     z_ext = _ecol(zlo, zhi, 0)
-    zg_ext = ((xp.roll(z_ext[0][0], -rate), xp.roll(z_ext[0][1], -rate)),
-              (xp.roll(z_ext[1][0], -rate), xp.roll(z_ext[1][1], -rate)))
+    zg_ext = _ecol(zglo, zghi, 0)
 
-    x_minus_1 = G.sub(x_lde, G.const(1, (m,)))
-    l1 = G.mul(zh, G.inv(G.mul_const(x_minus_1, n)))
+    x_minus_1 = G.sub(x_c, G.const(1, (rows,)))
+    l1 = G.mul(zh_c, G.inv(G.mul_const(x_minus_1, n)))
     one_c = G.const(1, (1,))
     zm1 = (G.sub(z_ext[0], one_c), z_ext[1])
     terms.append(a_mul(1, (G.mul(l1, zm1[0]), G.mul(l1, zm1[1]))))
@@ -491,7 +493,7 @@ def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
     sig = (clo[:, NUM_SELECTORS:NUM_SELECTORS + W],
            chi[:, NUM_SELECTORS:NUM_SELECTORS + W])
     nums, dens = perm_group_products(
-        G, E, wires, sig, x_lde, kdev, beta_d, gamma_d, groups)
+        G, E, wires, sig, x_c, kdev, beta_d, gamma_d, groups)
     K = len(groups)
     chain = [z_ext] + [_ecol(zlo, zhi, 1 + t) for t in range(K - 1)] \
         + [zg_ext]
@@ -516,20 +518,17 @@ def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
             for i in range(s, e):
                 rest = facs[s:i] + facs[i + 1:e]
                 rhs_terms.append(tree_fold(E.mul, rest) if rest
-                                 else _ext_ones(xp, m))
+                                 else _ext_ones(xp, rows))
             rhs = tree_fold(E.add, rhs_terms)
             rhs_s = (G.mul(rhs[0], qlk), G.mul(rhs[1], qlk))
             c_h = E.sub(E.mul(h_g, prod), rhs_s)
             terms.append(a_mul(base_i + t, c_h))
         h_t = _ecol(zlo, zhi, K + nh)
         c_ht = E.sub(E.mul(h_t, E.sub(lam_d, base_to_ext(tcol))),
-                     _ext_ones(xp, m))
+                     _ext_ones(xp, rows))
         terms.append(a_mul(base_i + nh, c_ht))
         s_ext = _ecol(zlo, zhi, K + nh + 1)
-        sg_ext = ((xp.roll(s_ext[0][0], -rate),
-                   xp.roll(s_ext[0][1], -rate)),
-                  (xp.roll(s_ext[1][0], -rate),
-                   xp.roll(s_ext[1][1], -rate)))
+        sg_ext = _ecol(zglo, zghi, K + nh + 1)
         hsum = tree_fold(E.add, [_ecol(zlo, zhi, K + t) for t in range(nh)])
         mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
         c_s = E.add(E.sub(E.sub(sg_ext, s_ext), hsum), mh)
@@ -538,8 +537,16 @@ def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
         terms.append(a_mul(base_i + nh + 2, c_l1s))
 
     c_all = tree_fold(E.add, terms)
-    t_lde = (G.mul(c_all[0], zh_inv),
-             G.mul(c_all[1], zh_inv))
+    return (G.mul(c_all[0], zh_inv_c), G.mul(c_all[1], zh_inv_c))
+
+
+def quotient_finish_body(pk, t_lde):
+    """Full-domain t(x) values -> quotient coefficient columns (coset INTT
+    + NUM_CHUNKS column split)."""
+    G = pk.G
+    xp = G.xp
+    n = pk.n
+    nch = pk.num_chunks
     t_re = coset_intt(G, t_lde[0])
     t_im = coset_intt(G, t_lde[1])
     q_lo = xp.stack(
@@ -549,6 +556,78 @@ def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
         [t_re[1][k * n:(k + 1) * n, 0] for k in range(nch)] +
         [t_im[1][k * n:(k + 1) * n, 0] for k in range(nch)], axis=1)
     return q_lo, q_hi
+
+
+def quotient_pi_lde_body(pk, pi_pair):
+    """(n,) -PI values on H -> (m, 1) coset LDE pair."""
+    G = pk.G
+    n = pk.n
+    return coset_lde(G, intt(G, (pi_pair[0].reshape(n, 1),
+                                 pi_pair[1].reshape(n, 1))),
+                     pk.config.rate_bits)
+
+
+def quotient_chunk_rows(pk) -> int:
+    """Row-chunk size for the quotient evaluation (env-overridable)."""
+    return int(os.environ.get("TPU_ACIR_QUOTIENT_CHUNK", str(1 << 21)))
+
+
+def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
+                  x_lde, kdev, zh_inv, zh,
+                  beta_d, gamma_d, lam_d, alphas4):
+    """Quotient evaluation over the full LDE domain (one traced program —
+    used by both the per-phase and the fused prover).  pi_pair: (n,) base
+    pair of -PI values on H; alphas4: 4 arrays (ncons,) of the
+    constraint-combination ext powers.
+
+    When the domain is large the row evaluation runs as an IN-GRAPH
+    lax.map over contiguous row chunks: the full-domain evaluation's live
+    temporaries alone exceed a v5e chip's 16G HBM at 2^20 trace rows
+    (measured 14.7G), while the chunked map bounds them at
+    O(chunk * live-vectors) and computes bit-identical values (every
+    constraint is row-elementwise; the g*x shift of Z/S enters via a
+    pre-gathered chunk of Z at rows (row + rate) mod m)."""
+    xp = pk.G.xp
+    m = pk.m
+    rate = pk.config.rate
+    pi_lde = quotient_pi_lde_body(pk, pi_pair)
+    chunk = quotient_chunk_rows(pk)
+    if not pk.is_jax or m <= chunk:
+        zg = (xp.roll(z_lde[0], -rate, axis=0),
+              xp.roll(z_lde[1], -rate, axis=0))
+        t_lde = quotient_rows_body(pk, const_lde, wires_lde_full, z_lde, zg,
+                                   pi_lde, x_lde, kdev, zh_inv, zh,
+                                   beta_d, gamma_d, lam_d, alphas4)
+        return quotient_finish_body(pk, t_lde)
+
+    from jax import lax
+    assert m % chunk == 0, \
+        f"quotient chunk {chunk} must divide the LDE size {m}"
+    # z wrapped by `rate` rows so every chunk's g*x shift is one contiguous
+    # dynamic slice (zpad[i] == z[i mod m] for i < m + rate)
+    zpad = (xp.concatenate([z_lde[0], z_lde[0][:rate]]),
+            xp.concatenate([z_lde[1], z_lde[1][:rate]]))
+
+    def chunk_fn(start):
+        def sl(a):
+            return lax.dynamic_slice_in_dim(a, start, chunk, 0)
+
+        def slz(a):
+            return lax.dynamic_slice_in_dim(a, start + rate, chunk, 0)
+
+        return quotient_rows_body(
+            pk, (sl(const_lde[0]), sl(const_lde[1])),
+            (sl(wires_lde_full[0]), sl(wires_lde_full[1])),
+            (sl(z_lde[0]), sl(z_lde[1])), (slz(zpad[0]), slz(zpad[1])),
+            (sl(pi_lde[0]), sl(pi_lde[1])), (sl(x_lde[0]), sl(x_lde[1])),
+            kdev, (sl(zh_inv[0]), sl(zh_inv[1])), (sl(zh[0]), sl(zh[1])),
+            beta_d, gamma_d, lam_d, alphas4)
+
+    starts = xp.arange(0, m, chunk, dtype=xp.int32)
+    parts = lax.map(chunk_fn, starts)  # ((nch,chunk) lo, hi) re/im pairs
+    t_lde = ((parts[0][0].reshape(m), parts[0][1].reshape(m)),
+             (parts[1][0].reshape(m), parts[1][1].reshape(m)))
+    return quotient_finish_body(pk, t_lde)
 
 
 def open_body(pk, coeffs, pow_re, pow_im):
@@ -650,7 +729,7 @@ class ProvingKey:
         if self.has_lookups:
             cols.append(compiled.table.reshape(1, n))
         pre = np.concatenate(cols, axis=0).T
-        pre_dev = _mat_to_dev(G, pre)
+        pre_dev = self.place(_mat_to_dev(G, pre))
         self.constants_oracle = self.commit(pre_dev)
 
         # domain tables
@@ -658,22 +737,22 @@ class ProvingKey:
         log_m = self.m.bit_length() - 1
         omega_m = _gl.root_of_unity(log_m)
         g = _gl.MULTIPLICATIVE_GENERATOR
-        self.x_lde = _to_dev(G, _mul_u64(powers_u64(omega_m, self.m), g))
-        self.x_h = _to_dev(G, powers_u64(self.omega, n))
+        self.x_lde = self.place(_to_dev(G, _mul_u64(powers_u64(omega_m, self.m), g)))
+        self.x_h = self.place(_to_dev(G, powers_u64(self.omega, n)))
         rate = config.rate
         gn = pow(g, n, P)
         wn = pow(omega_m, n, P)
         zh = [(gn * pow(wn, i, P) - 1) % P for i in range(rate)]
         zh_inv = np.tile(np.array([_gl.s_inv(v) for v in zh], dtype=np.uint64),
                          self.m // rate)
-        self.zh_inv_lde = _to_dev(G, zh_inv)
-        self.zh_lde = _to_dev(G, np.tile(np.array(zh, dtype=np.uint64),
-                                         self.m // rate))
-        self.sigma_dev = _mat_to_dev(G, compiled.sigma.T)
+        self.zh_inv_lde = self.place(_to_dev(G, zh_inv))
+        self.zh_lde = self.place(_to_dev(G, np.tile(np.array(zh, dtype=np.uint64),
+                                                    self.m // rate)))
+        self.sigma_dev = self.place(_mat_to_dev(G, compiled.sigma.T))
         self.k_dev = _to_dev(G, np.array(compiled.k_shifts, dtype=np.uint64))
         if self.has_lookups:
-            self.table_dev = _to_dev(G, compiled.table)
-            self.qlk_dev = _to_dev(G, compiled.selectors[SEL_QLK])
+            self.table_dev = self.place(_to_dev(G, compiled.table))
+            self.qlk_dev = self.place(_to_dev(G, compiled.selectors[SEL_QLK]))
         self.num_constraints = 2 + self.K + \
             ((self.nh + 3) if self.has_lookups else 0)
 
@@ -689,6 +768,15 @@ class ProvingKey:
             constants_cap=[tuple(int(x) for x in d)
                            for d in self.constants_oracle.tree.cap_u64()],
         )
+
+    # ---- device placement hook ---------------------------------------------
+
+    def place(self, pair):
+        """Placement hook for domain-axis tensors ((n,)/(m,)/(n, C) (lo, hi)
+        pairs).  Identity here; parallel.prove.ShardedProvingKey overrides it
+        to shard axis 0 over a device mesh, so every phase jit compiles as an
+        SPMD program over the mesh (computation follows data)."""
+        return pair
 
     # ---- jit cache --------------------------------------------------------
 
@@ -800,6 +888,11 @@ class ProvingKey:
         il = np.array([a[1] & 0xFFFFFFFF for a in alphas], np.uint32)
         ih = np.array([a[1] >> 32 for a in alphas], np.uint32)
 
+        lam = lam or (0, 0)
+        pi_dev = _mat_to_dev(G, pi_vals.reshape(n, 1))
+        al4 = (G.xp.asarray(al), G.xp.asarray(ah),
+               G.xp.asarray(il), G.xp.asarray(ih))
+
         def run(clo, chi, wlo, whi, zlo, zhi, pilo, pihi, xlo, xhi,
                 klo, khi, zhilo, zhihi, zhlo, zhhi,
                 b0, b1, b2, b3, g0, g1, g2, g3, la0, la1, la2, la3,
@@ -807,21 +900,37 @@ class ProvingKey:
             beta_d = _ext_scal(G, b0, b1, b2, b3)
             gamma_d = _ext_scal(G, g0, g1, g2, g3)
             lam_d = _ext_scal(G, la0, la1, la2, la3)
-            return quotient_body(self, (clo, chi), (wlo, whi), (zlo, zhi),
+            return quotient_body(self, (clo, chi), (wlo, whi),
+                                 (zlo, zhi),
                                  (pilo, pihi), (xlo, xhi), (klo, khi),
                                  (zhilo, zhihi), (zhlo, zhhi),
                                  beta_d, gamma_d, lam_d,
                                  (alr, ahr, ali, ahi_))
 
-        lam = lam or (0, 0)
-        pi_dev = _mat_to_dev(G, pi_vals.reshape(n, 1))
         args = (*const_lde, *wires_lde, *z_lde,
                 pi_dev[0].reshape(n), pi_dev[1].reshape(n),
                 *self.x_lde, *self.k_dev, *self.zh_inv_lde, *self.zh_lde,
                 *_ext_arg(beta), *_ext_arg(gamma), *_ext_arg(lam),
-                G.xp.asarray(al), G.xp.asarray(ah),
-                G.xp.asarray(il), G.xp.asarray(ih))
-        return self.jit(("quotient",), run)(*args)
+                *al4)
+        return self.jit(("quotient", quotient_chunk_rows(self)), run)(*args)
+
+    def ext_power_table(self, z, n):
+        """[z^0 .. z^(n-1)] for an ext scalar z as device (re, im) pairs,
+        computed IN-GRAPH by log-doubling on the jax backend: the host-side
+        table build + its ~32 MB upload per opening point dominated the
+        openings phase on a tunneled chip (BENCH r3)."""
+        G = self.G
+        if not self.is_jax:
+            pw = ext_powers_u64(z, n)
+            return (self.place(_to_dev(G, pw[0])),
+                    self.place(_to_dev(G, pw[1])))
+        from .fused import ext_powers_table
+
+        def run(a0, a1, a2, a3):
+            return ext_powers_table(G, self.E, ((a0, a1), (a2, a3)), n)
+
+        re, im = self.jit(("ext_powers", n), run)(*_ext_arg(z))
+        return (self.place(re), self.place(im))
 
     def open_at(self, oracle: Oracle, pows):
         """Evaluate all columns of an oracle at an ext point given its power
@@ -887,16 +996,30 @@ class ProvingKey:
             xp.asarray(a_lo_im), xp.asarray(a_hi_im),
             *y1a, *y2a, *_ext_arg(zeta), *_ext_arg(gzeta))
 
-    def fri_fold(self, values_ext, beta, inv2x_dev):
+    def fri_fold(self, values_ext, beta, shift: int):
+        """One FRI fold layer.  inv2x[j] = 1/(2*shift*w^j) is computed
+        IN-GRAPH by log-doubling (ntt.device_powers): at 2^20 rows the
+        host-side table build + its ~32 MB upload per layer dominated the
+        whole FRI phase on a tunneled chip (BENCH r3)."""
         G, E = self.G, self.E
-        h = int(values_ext[0][0].shape[0]) // 2
+        size = int(values_ext[0][0].shape[0])
+        h = size // 2
+        from .ntt import device_powers
+        w_inv = _gl.s_inv(_gl.root_of_unity(size.bit_length() - 1))
+        base = _gl.s_inv((2 * shift) % P)
 
-        def run(rl, rh, il, ih, xl, xh, b0, b1, b2, b3):
+        def run(rl, rh, il, ih, b0, b1, b2, b3):
             beta_d = ((_scal(G, b0), _scal(G, b1)), (_scal(G, b2), _scal(G, b3)))
-            return fri_fold_body(self, ((rl, rh), (il, ih)), (xl, xh), beta_d)
+            if self.is_jax:
+                pw = device_powers(G, w_inv, h)
+                bc = G.const(base)
+                inv2x = G.mul(pw, (bc[0].reshape(1), bc[1].reshape(1)))
+            else:
+                inv2x = G.from_u64(_mul_u64(powers_u64(w_inv, h), base))
+            return fri_fold_body(self, ((rl, rh), (il, ih)), inv2x, beta_d)
 
-        return self.jit(("fri_fold", h), run)(
-            *values_ext[0], *values_ext[1], *inv2x_dev, *_ext_arg(beta))
+        return self.jit(("fri_fold", h, shift), run)(
+            *values_ext[0], *values_ext[1], *_ext_arg(beta))
 
     def grind(self, challenger, pow_bits: int, batch: int = 1 << 17) -> int:
         """Proof-of-work grinding as ONE batched device Poseidon sweep
@@ -989,7 +1112,7 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
 
     # ---- phase 1: wire (+ multiplicity) commitment --------------------------
     with timer.phase("wire_commit"):
-        wires_dev = _mat_to_dev(G, wires_u64)
+        wires_dev = pk.place(_mat_to_dev(G, wires_u64))
         wires_oracle = pk.commit(wires_dev)
     challenger.observe_cap(wires_oracle.tree.cap_u64())
     beta = challenger.get_ext_challenge()
@@ -1017,11 +1140,9 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
     # ---- phase 4: openings at zeta (and g*zeta for the round-2 oracle) -------
     timer_openings = timer.phase("openings")
     timer_openings.__enter__()
-    zpow = ext_powers_u64(zeta, n)
-    zpows = (_to_dev(G, zpow[0]), _to_dev(G, zpow[1]))
+    zpows = pk.ext_power_table(zeta, n)
     gzeta = e_mul((pk.omega, 0), zeta)
-    gzpow = ext_powers_u64(gzeta, n)
-    gzpows = (_to_dev(G, gzpow[0]), _to_dev(G, gzpow[1]))
+    gzpows = pk.ext_power_table(gzeta, n)
 
     open_const = pk.open_at(pk.constants_oracle, zpows)
     open_wires = pk.open_at(wires_oracle, zpows)
@@ -1061,9 +1182,7 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
         tree = pk.fri_commit_layer(cur)
         challenger.observe_cap(tree.cap_u64())
         fbeta = challenger.get_ext_challenge()
-        w_inv = _gl.s_inv(_gl.root_of_unity(size.bit_length() - 1))
-        inv2x = _mul_u64(powers_u64(w_inv, h), _gl.s_inv((2 * cur_shift) % P))
-        cur = pk.fri_fold(cur, fbeta, _to_dev(G, inv2x))
+        cur = pk.fri_fold(cur, fbeta, cur_shift)
         fri_trees.append(tree)
         cur_shift = (cur_shift * cur_shift) % P
         size = h
