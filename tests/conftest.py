@@ -2,38 +2,33 @@
 run without TPU hardware (the driver's multi-chip dry-run uses the same
 mechanism).
 
-CRITICAL: the CPU platform must be selected in the PROCESS environment
-before the interpreter starts.  This machine's axon TPU-tunnel plugin is
-registered by a sitecustomize hook (PYTHONPATH=/root/.axon_site) whenever
-``PALLAS_AXON_POOL_IPS`` is set, and once registered it wins the platform
-selection even over ``JAX_PLATFORMS=cpu`` — every "cpu" test then silently
-runs over the network tunnel to the one real TPU chip (a full-suite run
-went from ~10 min to >60 min when that happened).  So if the suite isn't
-already on the CPU platform we re-exec the whole pytest process with the
-axon registration disabled and the 8-device virtual CPU flag set.
+This machine's axon TPU-tunnel plugin is registered by a sitecustomize hook
+(PYTHONPATH=/root/.axon_site) whenever ``PALLAS_AXON_POOL_IPS`` is set, and
+by conftest-import time that registration has already happened.  Selecting
+the CPU platform anyway needs ``jax.config.update("jax_platforms", "cpu")``
+(the env var alone is read at jax-import time, which is too late to set
+here).  XLA_FLAGS still takes effect because no backend has been
+initialized yet when this file runs.
+
+(An earlier version re-exec'd the whole pytest process with os.execv to get
+the env vars in before interpreter start.  That silently destroyed all
+pytest output: the re-exec happens after pytest's capture plugin has
+pointed fd 1/2 at its capture tempfiles, and the exec'd process inherits
+those fds, so every report went into a discarded capture file.)
 """
 
 import os
-import sys
-
-_needs_reexec = (os.environ.get("JAX_PLATFORMS") != "cpu"
-                 or os.environ.get("PALLAS_AXON_POOL_IPS"))
-if _needs_reexec and "pytest" in sys.modules:
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    # empty (not unset): the sitecustomize gates on truthiness
-    os.environ["PALLAS_AXON_POOL_IPS"] = ""
-    os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # persistent XLA compile cache: phase-program compiles on this box cost
 # 10s-300s each (2-core LLVM); the cache makes them one-time across the
