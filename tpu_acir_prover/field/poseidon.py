@@ -189,7 +189,10 @@ def make_poseidon(G):
         costs 12 real field muls."""
         lo, hi = state
         extra = lo.ndim - 1
-        accs = [limb.sum(axis=0) for limb in _limbs4(state)]  # < 2^20
+        # dtype pinned: numpy promotes uint32 sums to uint64 (jax does not),
+        # which poisons the u16-limb recombination with 64-bit garbage
+        accs = [limb.sum(axis=0, dtype=xp.uint32)
+                for limb in _limbs4(state)]  # < 2^20
         s = _recombine_reduce(*accs)  # (*batch,)
         d = (xp.asarray(dm1_lo_np).reshape(_bshape(extra)),
              xp.asarray(dm1_hi_np).reshape(_bshape(extra)))

@@ -185,49 +185,168 @@ def tree_fold(fn, items):
     return items[0]
 
 
+def _group_gather(G, groups, W: int):
+    """Host-precomputed (K, gp) column-index and mask arrays for gathering
+    per-group wire columns into an (n, K, gp) tensor (gp = group size
+    padded to a power of two; masked lanes get the op's neutral)."""
+    K = len(groups)
+    gmax = max(e - s for s, e in groups)
+    gp = 1
+    while gp < gmax:
+        gp *= 2
+    idx = np.zeros((K, gp), np.int32)
+    mask = np.zeros((K, gp), bool)
+    for t, (s, e) in enumerate(groups):
+        idx[t, :e - s] = np.arange(s, e, dtype=np.int32)
+        mask[t, :e - s] = True
+    return G.xp.asarray(idx), G.xp.asarray(mask), gp
+
+
+def _group_tensor(G, fmat, idxd, maskd, neutral):
+    """Gather an (n, W) ext matrix into a masked (n, K, gp) ext tensor."""
+    xp = G.xp
+
+    def take(c):
+        return xp.take(c, idxd, axis=1)
+
+    (nr_lo, nr_hi), (ni_lo, ni_hi) = neutral
+    re = (xp.where(maskd, take(fmat[0][0]), xp.uint32(nr_lo)),
+          xp.where(maskd, take(fmat[0][1]), xp.uint32(nr_hi)))
+    im = (xp.where(maskd, take(fmat[1][0]), xp.uint32(ni_lo)),
+          xp.where(maskd, take(fmat[1][1]), xp.uint32(ni_hi)))
+    return re, im
+
+
+_EXT_ONE_NEUTRAL = ((1, 0), (0, 0))
+_EXT_ZERO_NEUTRAL = ((0, 0), (0, 0))
+
+
+def _fold_last_axis(op, tens):
+    """Log-halving reduction over the last axis of an ext tensor."""
+    w = tens[0][0].shape[-1]
+    while w > 1:
+        h = w // 2
+        a = tuple(tuple(c[..., :h] for c in comp) for comp in tens)
+        b = tuple(tuple(c[..., h:] for c in comp) for comp in tens)
+        tens = op(a, b)
+        w = h
+    return tuple(tuple(c[..., 0] for c in comp) for comp in tens)
+
+
+def _axis_excl_products(E, tens, reverse=False):
+    """Exclusive prefix (suffix with reverse=True) products along the last
+    axis of an ext tensor, via log-depth Hillis-Steele with STATIC shifts."""
+    xp = E.G.xp
+
+    def flip(t):
+        return tuple(tuple(xp.flip(c, axis=-1) for c in comp) for comp in t)
+
+    if reverse:
+        tens = flip(tens)
+    gp = tens[0][0].shape[-1]
+
+    def shift(t, d):
+        def sh(c, fill):
+            pad_shape = c.shape[:-1] + (d,)
+            fill_arr = xp.full(pad_shape, fill, xp.uint32)
+            return xp.concatenate([fill_arr, c[..., :-d]], axis=-1)
+
+        return ((sh(t[0][0], 1), sh(t[0][1], 0)),
+                (sh(t[1][0], 0), sh(t[1][1], 0)))
+
+    acc = shift(tens, 1)  # exclusive: drop self, shift in the neutral 1
+    d = 1
+    while d < gp:
+        acc = E.mul(acc, shift(acc, d))
+        d *= 2
+    if reverse:
+        acc = flip(acc)
+    return acc
+
+
+def grouped_fold(G, E, fmat, groups, op, neutral):
+    """Per-group log-halving fold of an (n, W) ext matrix's columns.
+
+    Returns a list of per-group (n,) ext values.  One gather + log2(gp)
+    matrix ops for ALL groups — the graph stays O(log) regardless of wire
+    count, which keeps the XLA:CPU compile of the round2/quotient bodies
+    seconds instead of minutes (the per-column tree_fold unrolling was the
+    dominant compile cost at W = 16)."""
+    idxd, maskd, gp = _group_gather(G, groups, fmat[0][0].shape[1])
+    tens = _group_tensor(G, fmat, idxd, maskd, neutral)
+    red = _fold_last_axis(op, tens)
+    K = len(groups)
+    return [((red[0][0][:, t], red[0][1][:, t]),
+             (red[1][0][:, t], red[1][1][:, t])) for t in range(K)]
+
+
 def perm_group_products(G, E, wires, sigmas, xpair, k_dev, beta_d, gamma_d,
                         groups):
     """Per-group (N_g, D_g) products of the permutation factors
     (w_i + B k_i x + G) / (w_i + B sigma_i + G).
 
     wires/sigmas: (n, W) pairs; k_dev: (W,) pair; returns two lists of ext
-    vectors, one entry per group."""
-    wlo, whi = wires
-    slo, shi = sigmas
-    n = wlo.shape[0]
+    vectors, one entry per group.  Fully matrix-form: the factors for all W
+    wires are a handful of (n, W) ops."""
+    kx = G.mul((xpair[0][:, None], xpair[1][:, None]),
+               (k_dev[0][None, :], k_dev[1][None, :]))  # (n, W)
 
-    def factor(wcol, kx):
-        return (G.add(G.add(wcol, G.mul(beta_d[0], kx)), gamma_d[0]),
-                G.add(G.mul(beta_d[1], kx), gamma_d[1]))
+    def factor_mat(second):
+        return (G.add(G.add(wires, G.mul(beta_d[0], second)), gamma_d[0]),
+                G.add(G.mul(beta_d[1], second), gamma_d[1]))
 
-    nums, dens = [], []
-    for (s, e) in groups:
-        f_nums, f_dens = [], []
-        for i in range(s, e):
-            kx = G.mul(xpair, (k_dev[0][i:i + 1], k_dev[1][i:i + 1]))
-            f_nums.append(factor((wlo[:, i], whi[:, i]), kx))
-            f_dens.append(factor((wlo[:, i], whi[:, i]),
-                                 (slo[:, i], shi[:, i])))
-        nums.append(tree_fold(E.mul, f_nums))
-        dens.append(tree_fold(E.mul, f_dens))
+    f_num = factor_mat(kx)
+    f_den = factor_mat(sigmas)
+    nums = grouped_fold(G, E, f_num, groups, E.mul, _EXT_ONE_NEUTRAL)
+    dens = grouped_fold(G, E, f_den, groups, E.mul, _EXT_ONE_NEUTRAL)
     return nums, dens
+
+
+def batch_inv_ext_cols(E, mat):
+    """Columnwise batch inversion of an (n, W) ext matrix (W a power of
+    two): product tree up by column halving, ONE Fermat inversion of the
+    (n, 1) root, interleaved push-down.  O(log W) matrix ops."""
+    xp = E.G.xp
+    levels = [mat]
+    w = mat[0][0].shape[1]
+    while w > 1:
+        cur = levels[-1]
+        a = tuple(tuple(c[:, 0::2] for c in comp) for comp in cur)
+        b = tuple(tuple(c[:, 1::2] for c in comp) for comp in cur)
+        levels.append(E.mul(a, b))
+        w //= 2
+    inv = E.inv(levels[-1])
+    for lev in levels[-2::-1]:
+        a = tuple(tuple(c[:, 0::2] for c in comp) for comp in lev)
+        b = tuple(tuple(c[:, 1::2] for c in comp) for comp in lev)
+        left = E.mul(inv, b)    # 1/a
+        right = E.mul(inv, a)   # 1/b
+
+        def ilv(x, y):
+            n, k = x.shape
+            return xp.stack([x, y], axis=2).reshape(n, 2 * k)
+
+        inv = tuple(tuple(ilv(ca, cb) for ca, cb in zip(compa, compb))
+                    for compa, compb in zip(left, right))
+    return inv
+
+
+def lookup_fac_matrix(G, E, wires, lam_d):
+    """(lam - w_i) for all wires as one (n, W) ext matrix."""
+    xp = G.xp
+    wlo, whi = wires
+    z = xp.zeros_like(wlo)
+    return (G.sub(lam_d[0], (wlo, whi)),
+            G.sub(lam_d[1], (z, z)))
 
 
 def lookup_helper_terms(G, E, wires, lam_d, qlk, groups):
     """Per-helper-group values h_g = qLK * sum_{i in g} 1/(lam - w_i).
     wires: (n, W) pair, qlk: (n,) base pair, returns a list of ext vecs."""
-    wlo, whi = wires
-    facs = []  # all (lam - w_i)
-    for i in range(wlo.shape[1]):
-        facs.append(E.sub(lam_d, ((wlo[:, i], whi[:, i]),
-                                  (G.xp.zeros_like(wlo[:, i]),
-                                   G.xp.zeros_like(wlo[:, i])))))
-    invs = batch_inv_ext(E, facs)
-    hs = []
-    for (s, e) in groups:
-        acc = tree_fold(E.add, invs[s:e])
-        hs.append((G.mul(acc[0], qlk), G.mul(acc[1], qlk)))
-    return hs
+    fmat = lookup_fac_matrix(G, E, wires, lam_d)
+    invs = batch_inv_ext_cols(E, fmat)
+    sums = grouped_fold(G, E, invs, groups, E.add, _EXT_ZERO_NEUTRAL)
+    return [(G.mul(acc[0], qlk), G.mul(acc[1], qlk)) for acc in sums]
 
 
 def prefix_product_ext(G, E, is_jax, ratio, log_n: int):
@@ -317,23 +436,37 @@ def _shift_one(xp, comp, fill_one=False):
 
 def gate_eval(G, q_cols, w_cols):
     """sum_j qM_j*w_{2j}*w_{2j+1} + sum_i q_i*w_i + qC on (n, C) matrices.
-    q_cols: (n, NUM_SELECTORS) pair; w_cols: (n, W) pair."""
+    q_cols: (n, NUM_SELECTORS) pair; w_cols: (n, W) pair.  Matrix-form:
+    three (n, *) muls + a log-halving column sum (compile-friendly)."""
+    xp = G.xp
     qlo, qhi = q_cols
     wlo, whi = w_cols
-    W = wlo.shape[1]
+    n, W = wlo.shape
     npair = W // 2
 
-    def col(mlo, mhi, j):
-        return (mlo[:, j], mhi[:, j])
-
-    terms = []
-    for j in range(npair):
-        terms.append(G.mul(G.mul(col(qlo, qhi, j), col(wlo, whi, 2 * j)),
-                           col(wlo, whi, 2 * j + 1)))
-    for i in range(W):
-        terms.append(G.mul(col(qlo, qhi, npair + i), col(wlo, whi, i)))
-    terms.append(col(qlo, qhi, npair + W))
-    return tree_fold(G.add, terms)
+    pair = G.mul((wlo[:, 0::2], whi[:, 0::2]), (wlo[:, 1::2], whi[:, 1::2]))
+    t1 = G.mul((qlo[:, :npair], qhi[:, :npair]), pair)          # (n, P)
+    t2 = G.mul((qlo[:, npair:npair + W], qhi[:, npair:npair + W]),
+               (wlo, whi))                                      # (n, W)
+    cat_lo = xp.concatenate(
+        [t1[0], t2[0], qlo[:, npair + W:npair + W + 1]], axis=1)
+    cat_hi = xp.concatenate(
+        [t1[1], t2[1], qhi[:, npair + W:npair + W + 1]], axis=1)
+    C = cat_lo.shape[1]
+    pw = 1
+    while pw < C:
+        pw *= 2
+    if pw != C:
+        z = xp.zeros((n, pw - C), xp.uint32)
+        cat_lo = xp.concatenate([cat_lo, z], axis=1)
+        cat_hi = xp.concatenate([cat_hi, z], axis=1)
+    cur = (cat_lo, cat_hi)
+    while pw > 1:
+        h = pw // 2
+        cur = G.add((cur[0][:, :h], cur[1][:, :h]),
+                    (cur[0][:, h:], cur[1][:, h:]))
+        pw = h
+    return cur[0][:, 0], cur[1][:, 0]
 
 
 def ext_combo_columns(G, E, is_jax, mat, alphas_dev):
@@ -399,9 +532,7 @@ def round2_body(pk, wires_full, sig, xh, kdev, tbl, qlk,
     num = tree_fold(E.mul, nums)
     den = tree_fold(E.mul, dens)
     ratio = E.mul(num, E.inv(den))
-    acc = prefix_product_ext(G, E, is_jax, ratio, log_n)
-    z = ((_shift_one(xp, acc[0], fill_one=True)),
-         (_shift_one(xp, acc[1])))
+    z = pk.exclusive_prefix_product(ratio)
     ecols = [z]
     if len(groups) > 1:
         cum_n = nums[0]
@@ -425,8 +556,7 @@ def round2_body(pk, wires_full, sig, xh, kdev, tbl, qlk,
         mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
         delta = tree_fold(E.add, hs)
         delta = E.sub(delta, mh)
-        incl = prefix_sum_ext(G, E, is_jax, delta, log_n)
-        s_col = ((_shift_one(xp, incl[0])), (_shift_one(xp, incl[1])))
+        s_col = pk.exclusive_prefix_sum(delta)
         ecols.extend(hs)
         ecols.append(h_t)
         ecols.append(s_col)
@@ -508,18 +638,25 @@ def quotient_rows_body(pk, const_c, wires_full_c, z_c, zg_c, pi_c, x_c,
         mcol = col(wlo, whi, W)
         nh = len(lk_groups)
         base_i = 2 + K
-        facs = []
-        for i in range(W):
-            facs.append(E.sub(lam_d, base_to_ext(col(wlo, whi, i))))
-        for t, (s, e) in enumerate(lk_groups):
+        # matrix-form LogUp constraint: per-group full products and
+        # all-but-one sums via exclusive prefix x suffix products —
+        # O(log) matrix ops for all groups at once
+        fmat = lookup_fac_matrix(G, E, wires, lam_d)
+        idxd, maskd, gp = _group_gather(G, lk_groups, W)
+        tens = _group_tensor(G, fmat, idxd, maskd, _EXT_ONE_NEUTRAL)
+        prods = _fold_last_axis(E.mul, tens)           # (rows, nh)
+        pre = _axis_excl_products(E, tens)
+        suf = _axis_excl_products(E, tens, reverse=True)
+        allbut = E.mul(pre, suf)                       # (rows, nh, gp)
+        ab0 = tuple(tuple(xp.where(maskd, c, xp.uint32(0)) for c in comp)
+                    for comp in allbut)
+        rhs_all = _fold_last_axis(E.add, ab0)          # (rows, nh)
+        for t in range(nh):
             h_g = _ecol(zlo, zhi, K + t)
-            prod = tree_fold(E.mul, facs[s:e])
-            rhs_terms = []
-            for i in range(s, e):
-                rest = facs[s:i] + facs[i + 1:e]
-                rhs_terms.append(tree_fold(E.mul, rest) if rest
-                                 else _ext_ones(xp, rows))
-            rhs = tree_fold(E.add, rhs_terms)
+            prod = ((prods[0][0][:, t], prods[0][1][:, t]),
+                    (prods[1][0][:, t], prods[1][1][:, t]))
+            rhs = ((rhs_all[0][0][:, t], rhs_all[0][1][:, t]),
+                   (rhs_all[1][0][:, t], rhs_all[1][1][:, t]))
             rhs_s = (G.mul(rhs[0], qlk), G.mul(rhs[1], qlk))
             c_h = E.sub(E.mul(h_g, prod), rhs_s)
             terms.append(a_mul(base_i + t, c_h))
@@ -646,7 +783,7 @@ def fri_combine_body(pk, lde_list, z_lde, x_lde, alphas4,
     lde_list: per-oracle (m, C) pairs; alphas4: 4 arrays (ncols + zcols,);
     challenges/openings as broadcastable ext scalars."""
     G, E = pk.G, pk.E
-    m = pk.m
+    m = int(x_lde[0].shape[0])  # local row count (global m single-chip)
     is_jax = pk.is_jax
     ncols = sum(p[0].shape[1] for p in lde_list)
 
@@ -703,7 +840,14 @@ class ProvingKey:
                  xp=None):
         self.compiled = compiled
         self.config = config
-        xp = xp or _default_xp()
+        if xp is None:
+            xp = _default_xp()
+        elif "jax" in getattr(xp, "__name__", ""):
+            # explicit-xp construction (e.g. ShardedProvingKey) must still
+            # get the persistent compile cache: sharded phase programs cost
+            # minutes to partition cold
+            from ..utils.jaxcfg import setup_jax_cache
+            setup_jax_cache()
         self.G = make_gl(xp)
         self.E = make_ext(self.G)
         self.H = make_poseidon(self.G)
@@ -768,6 +912,26 @@ class ProvingKey:
             constants_cap=[tuple(int(x) for x in d)
                            for d in self.constants_oracle.tree.cap_u64()],
         )
+
+    # ---- prefix-scan hooks --------------------------------------------------
+    # round2_body routes its two cross-row scans (the exclusive prefix
+    # product defining Z and the LogUp running-sum S) through these so the
+    # sharded ProvingKey can substitute a shard_map implementation (local
+    # scan + one all_gather of per-shard totals): the Hillis-Steele
+    # fori_loop's dynamic-shift rolls are fine single-chip but take GSPMD's
+    # partitioner minutes to compile (measured 4+ min at n=16 on 8 shards).
+
+    def exclusive_prefix_product(self, ratio):
+        xp = self.G.xp
+        acc = prefix_product_ext(self.G, self.E, self.is_jax, ratio,
+                                 self.compiled.log_n)
+        return (_shift_one(xp, acc[0], fill_one=True), _shift_one(xp, acc[1]))
+
+    def exclusive_prefix_sum(self, vals):
+        xp = self.G.xp
+        acc = prefix_sum_ext(self.G, self.E, self.is_jax, vals,
+                             self.compiled.log_n)
+        return (_shift_one(xp, acc[0]), _shift_one(xp, acc[1]))
 
     # ---- device placement hook ---------------------------------------------
 
