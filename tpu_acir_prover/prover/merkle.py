@@ -14,6 +14,9 @@ import numpy as np
 
 from ..field.poseidon import hash_no_pad_ints, two_to_one_ints, DIGEST
 
+# jitted tree-query programs, shared across trees with identical shapes
+_QUERY_JITS = {}
+
 
 class MerkleTree:
     """Committed matrix + digest levels (device-resident backend arrays).
@@ -29,6 +32,7 @@ class MerkleTree:
         self.levels = levels
         self.cap_height = cap_height
         self._host_levels = None
+        self._query_cache = {}
 
     @property
     def num_leaves(self):
@@ -40,40 +44,67 @@ class MerkleTree:
         return np.asarray(self.G.to_u64((lo, hi))).T
 
     def rows_u64(self, indices):
-        """Gather leaf rows for many indices in one device op + transfer:
-        (len(indices), C) uint64."""
-        G = self.G
-        idx = G.xp.asarray(np.asarray(indices, dtype=np.int32))
-        lo = G.xp.take(self.leaves_lo, idx, axis=0)
-        hi = G.xp.take(self.leaves_hi, idx, axis=0)
-        return np.asarray(G.to_u64((lo, hi)))
+        """Gather leaf rows for many indices: (len(indices), C) uint64."""
+        return self.rows_and_paths(indices)[0]
 
     def open_row(self, index: int):
         """Merkle path for leaf `index`: (leaf_values_u64, path) where path is
         a list of sibling digests (uint64[DIGEST]) from leaf level up to cap."""
-        row = self.rows_u64([index])[0]
-        return row, self.paths_for([index])[0]
+        rows, paths = self.rows_and_paths([index])
+        return rows[0], paths[0]
 
     def paths_for(self, indices):
-        """Merkle paths for many leaves: one batched device gather per level,
-        ONE device->host transfer total (the chip may sit behind a network
-        tunnel, so round trips — not bytes — dominate query assembly)."""
+        """Merkle paths for many leaves (see rows_and_paths)."""
+        return self.rows_and_paths(indices)[1]
+
+    def rows_and_paths(self, indices):
+        """Leaf rows + sibling paths for many indices as ONE jitted device
+        program and ONE device->host transfer per tree (the chip may sit
+        behind a network tunnel, so launch round trips — not bytes —
+        dominate query assembly)."""
         G = self.G
         xp = G.xp
-        cur = np.asarray(indices, dtype=np.int64)
-        gathered = []
-        for lo, hi in self.levels[:-1]:
-            sib = xp.asarray((cur ^ 1).astype(np.int32))
-            gathered.append((xp.take(lo, sib, axis=1), xp.take(hi, sib, axis=1)))
-            cur >>= 1
-        if not gathered:
-            return [[] for _ in indices]
-        cat_lo = xp.concatenate([g[0] for g in gathered], axis=0)  # (4*L, Q)
-        cat_hi = xp.concatenate([g[1] for g in gathered], axis=0)
+        key = tuple(indices)
+        if key in self._query_cache:
+            return self._query_cache[key]
+        idx_np = np.asarray(indices, dtype=np.int32)
+        nlev = len(self.levels) - 1
+
+        def run(idx, llo, lhi, *levs):
+            row_lo = xp.take(llo, idx, axis=0)
+            row_hi = xp.take(lhi, idx, axis=0)
+            cur = idx
+            outs_lo, outs_hi = [], []
+            for l in range(nlev):
+                sib = cur ^ 1
+                outs_lo.append(xp.take(levs[2 * l], sib, axis=1))
+                outs_hi.append(xp.take(levs[2 * l + 1], sib, axis=1))
+                cur = cur >> 1
+            if not outs_lo:
+                z = xp.zeros((0, idx.shape[0]), xp.uint32)
+                return row_lo, row_hi, z, z
+            return (row_lo, row_hi, xp.concatenate(outs_lo, axis=0),
+                    xp.concatenate(outs_hi, axis=0))
+
+        is_jax = "jax" in getattr(xp, "__name__", "")
+        if is_jax:
+            import jax
+            jkey = ("treequery", nlev, self.leaves_lo.shape, len(idx_np))
+            fn = _QUERY_JITS.get(jkey)
+            if fn is None:
+                fn = jax.jit(run)
+                _QUERY_JITS[jkey] = fn
+        else:
+            fn = run
+        flat_levels = [c for lev in self.levels[:-1] for c in lev]
+        row_lo, row_hi, cat_lo, cat_hi = fn(
+            xp.asarray(idx_np), self.leaves_lo, self.leaves_hi, *flat_levels)
+        rows = np.asarray(G.to_u64((row_lo, row_hi)))
         flat = np.asarray(G.to_u64((cat_lo, cat_hi)))
-        nlev = len(gathered)
-        return [[flat[4 * l:4 * (l + 1), q] for l in range(nlev)]
-                for q in range(len(indices))]
+        paths = [[flat[4 * l:4 * (l + 1), q] for l in range(nlev)]
+                 for q in range(len(indices))]
+        self._query_cache[key] = (rows, paths)
+        return rows, paths
 
 
 def merkle_commit(G, H, matrix, cap_height: int) -> MerkleTree:

@@ -956,37 +956,43 @@ class ProvingKey:
     # ---- phase programs -----------------------------------------------------
 
     def commit(self, values_dev, from_coeffs: bool = False) -> Oracle:
+        """INTT + coset LDE + leaf hash + EVERY Merkle level as ONE jitted
+        program.  The per-level programs this replaces cost ~20 device
+        launches per tree; on a chip behind a network tunnel the launch
+        round-trips dominated the commit phases (BENCH r3/r4)."""
         G, H = self.G, self.H
         rate_bits, cap_height = self.config.rate_bits, self.config.cap_height
 
         def run(lo, hi):
             coeffs = (lo, hi) if from_coeffs else intt(G, (lo, hi))
             lde = coset_lde(G, coeffs, rate_bits)
-            return coeffs, lde
+            levels = self.merkle_levels_graph(lde)
+            flat = [c for lev in levels for c in lev]
+            return (*coeffs, *lde, *flat)
 
         shape = tuple(values_dev[0].shape)
-        coeffs, lde = self.jit(("polylde", from_coeffs, shape), run)(*values_dev)
-        levels = self.merkle_levels(lde)
+        out = self.jit(("commit", from_coeffs, shape), run)(*values_dev)
+        coeffs = (out[0], out[1])
+        lde = (out[2], out[3])
+        levels = [(out[4 + 2 * i], out[5 + 2 * i])
+                  for i in range((len(out) - 4) // 2)]
         tree = MerkleTree(G, lde[0], lde[1], levels,
-                          min(cap_height, lde[0].shape[0].bit_length() - 1))
+                          min(cap_height, int(lde[0].shape[0]).bit_length() - 1))
         return Oracle(coeffs, lde, tree)
 
-    def merkle_levels(self, matrix):
-        """Merkle levels via per-shape SHARED jitted hash programs (tree
-        levels above the leaves have identical shapes across oracles, so
-        the Poseidon compression compiles once per size, not per oracle)."""
-        G, H = self.G, self.H
+    def merkle_levels_graph(self, matrix):
+        """All Merkle levels of an (M, C) matrix pair, in-graph (traced)."""
+        H = self.H
         cap_height = self.config.cap_height
         m, c = matrix[0].shape
-        ch = min(cap_height, m.bit_length() - 1)
-        leaf = self.jit(("leafhash", m, c),
-                        lambda lo, hi: H.hash_no_pad((lo.T, hi.T)))(*matrix)
+        ch = min(cap_height, int(m).bit_length() - 1)
+        leaf = H.hash_no_pad((matrix[0].T, matrix[1].T))
         levels = [leaf]
         dlo, dhi = leaf
         size = m
         while size > (1 << ch):
-            dlo, dhi = self.jit(("two_to_one", size), lambda lo, hi: H.two_to_one(
-                (lo[:, 0::2], hi[:, 0::2]), (lo[:, 1::2], hi[:, 1::2])))(dlo, dhi)
+            dlo, dhi = H.two_to_one((dlo[:, 0::2], dhi[:, 0::2]),
+                                    (dlo[:, 1::2], dhi[:, 1::2]))
             levels.append((dlo, dhi))
             size //= 2
         return levels
@@ -1227,6 +1233,8 @@ class ProvingKey:
             assert start < (1 << 32), "grinding exhausted 32-bit nonces"
 
     def fri_commit_layer(self, values_ext):
+        """FRI layer leaf matrix + leaf hash + all Merkle levels as ONE
+        jitted program (launch-count: see commit)."""
         G = self.G
         cap_height = self.config.cap_height
         m = int(values_ext[0][0].shape[0])
@@ -1236,10 +1244,14 @@ class ProvingKey:
         def run(rl, rh, il, ih):
             lo = xp.stack([rl[:h], il[:h], rl[h:], il[h:]], axis=1)
             hi = xp.stack([rh[:h], ih[:h], rh[h:], ih[h:]], axis=1)
-            return lo, hi
+            levels = self.merkle_levels_graph((lo, hi))
+            flat = [c for lev in levels for c in lev]
+            return (lo, hi, *flat)
 
-        leaf = self.jit(("fri_leafmat", m), run)(*values_ext[0], *values_ext[1])
-        levels = self.merkle_levels(leaf)
+        out = self.jit(("fri_layer", m), run)(*values_ext[0], *values_ext[1])
+        leaf = (out[0], out[1])
+        levels = [(out[2 + 2 * i], out[3 + 2 * i])
+                  for i in range((len(out) - 2) // 2)]
         tree = MerkleTree(G, leaf[0], leaf[1], levels,
                           min(cap_height, h.bit_length() - 1))
         return tree
@@ -1275,10 +1287,14 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
     challenger.observe_many(pub_values)
 
     # ---- phase 1: wire (+ multiplicity) commitment --------------------------
+    # challenger cap observations sit INSIDE the phases: the cap-to-host
+    # transfer is the sync point of each phase's async device work, so
+    # leaving it outside made the per-phase breakdown lie (~14 s of device
+    # time showed up in no phase at 2^20 on a tunneled chip)
     with timer.phase("wire_commit"):
         wires_dev = pk.place(_mat_to_dev(G, wires_u64))
         wires_oracle = pk.commit(wires_dev)
-    challenger.observe_cap(wires_oracle.tree.cap_u64())
+        challenger.observe_cap(wires_oracle.tree.cap_u64())
     beta = challenger.get_ext_challenge()
     gamma = challenger.get_ext_challenge()
     lam = challenger.get_ext_challenge() if pk.has_lookups else None
@@ -1287,7 +1303,7 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
     with timer.phase("permutation_z"):
         z_mat = pk.round2_phase(wires_dev, beta, gamma, lam)
         z_oracle = pk.commit(z_mat)
-    challenger.observe_cap(z_oracle.tree.cap_u64())
+        challenger.observe_cap(z_oracle.tree.cap_u64())
     alpha = challenger.get_ext_challenge()
 
     # ---- phase 3: quotient ---------------------------------------------------
@@ -1298,7 +1314,7 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
         q_cols = pk.quotient_phase(wires_oracle.lde, z_oracle.lde, pi_vals,
                                    beta, gamma, lam, alpha)
         quotient_oracle = pk.commit(q_cols, from_coeffs=True)
-    challenger.observe_cap(quotient_oracle.tree.cap_u64())
+        challenger.observe_cap(quotient_oracle.tree.cap_u64())
     zeta = challenger.get_ext_challenge()
 
     # ---- phase 4: openings at zeta (and g*zeta for the round-2 oracle) -------
