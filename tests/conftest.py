@@ -29,6 +29,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# native-u64 Goldilocks path on the CPU backend (field/gl.py _use_u64):
+# ~5x fewer ops per field multiply -> much faster XLA:CPU compiles and
+# virtual-mesh execution; bit-identical values
+jax.config.update("jax_enable_x64", True)
 
 # persistent XLA compile cache: phase-program compiles on this box cost
 # 10s-300s each (2-core LLVM); the cache makes them one-time across the

@@ -34,6 +34,8 @@ def _select_xp(backend: Optional[str] = None):
     backend = backend or os.environ.get("TPU_ACIR_BACKEND", "jax")
     if backend == "numpy":
         return np
+    from .utils.jaxcfg import setup_jax
+    setup_jax()
     import jax.numpy as jnp
     return jnp
 

@@ -18,6 +18,8 @@ standard Goldilocks reduction exploiting 2^64 = 2^32 - 1 (mod p) and
 
 from __future__ import annotations
 
+import os
+
 import numpy as _np
 
 P = (1 << 64) - (1 << 32) + 1  # Goldilocks prime
@@ -33,12 +35,39 @@ MULTIPLICATIVE_GENERATOR = 7
 POWER_OF_TWO_GENERATOR = pow(7, (P - 1) >> 32, P)
 
 
+def _use_u64(xp) -> bool:
+    """Native-u64 arithmetic path?  TPUs have no 64-bit integer lanes, so
+    the jax path uses it only on the CPU backend (and only when x64 is
+    enabled — the dryrun/test harness turns it on).  The op count per field
+    multiply drops ~5x, which matters twice on the virtual-CPU mesh: XLA
+    compile time and the per-op execution overhead of 8 oversubscribed
+    device threads both scale with op count.  Values are bit-identical to
+    the limb path (same field arithmetic; the (lo, hi) uint32 interface is
+    preserved at every op boundary)."""
+    env = os.environ.get("TPU_ACIR_GL64")
+    if env == "0":
+        return False
+    if "jax" not in getattr(xp, "__name__", ""):
+        return False
+    import jax
+    if not jax.config.jax_enable_x64:
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def make_gl(xp):
     """Build the Goldilocks op namespace over backend ``xp`` (numpy or jnp).
 
     Every function takes/returns uint32 arrays; field elements are (lo, hi)
     tuples of equal-shape arrays.
     """
+    if _use_u64(xp):
+        return _make_gl_u64(xp)
     u32 = xp.uint32
 
     def const(v, shape=()):
@@ -253,6 +282,178 @@ def make_gl(xp):
         select=select, is_zero=is_zero, eq=eq, xp=xp,
     )
     return type("GL", (), ns)
+
+
+def _make_gl_u64(xp):
+    """Goldilocks ops computed in native uint64 (CPU backend; see _use_u64).
+    The public interface is unchanged — (lo, hi) uint32 array pairs in and
+    out — and every op returns the same canonical field values as the limb
+    path."""
+    u32 = xp.uint32
+    u64 = xp.uint64
+    M32 = u64(0xFFFFFFFF)
+    EPS = u64(EPSILON)
+    P64 = u64(P)
+
+    def _j(a):
+        return a[0].astype(u64) | (a[1].astype(u64) << u64(32))
+
+    def _s(v):
+        return (v.astype(u32), (v >> u64(32)).astype(u32))
+
+    def const(v, shape=()):
+        v = int(v) % P
+        return (xp.full(shape, v & 0xFFFFFFFF, dtype=u32),
+                xp.full(shape, v >> 32, dtype=u32))
+
+    def _canon64(v):
+        return xp.where(v >= P64, v - P64, v)
+
+    def canon(lo, hi):
+        return _s(_canon64(_j((lo, hi))))
+
+    def _add64(x, y):
+        s0 = x + y
+        s0 = xp.where(s0 < x, s0 + EPS, s0)
+        return _canon64(s0)
+
+    def _sub64(x, y):
+        d = x - y
+        d = xp.where(x < y, d - EPS, d)
+        return _canon64(d)
+
+    def _neg64(x):
+        return xp.where(x == u64(0), u64(0), P64 - x)
+
+    def _reduce128_64(lo64, hi64):
+        """(hi64:lo64) 128-bit value -> canonical field element, using
+        2^64 = 2^32 - 1 and 2^96 = -1 (mod p)."""
+        x3 = hi64 >> u64(32)
+        x2 = hi64 & M32
+        t = lo64 - x3
+        t = xp.where(lo64 < x3, t - EPS, t)
+        t2 = x2 * EPS
+        r = t + t2
+        r = xp.where(r < t, r + EPS, r)
+        return _canon64(r)
+
+    def _mul64(x, y):
+        xl = x & M32
+        xh = x >> u64(32)
+        yl = y & M32
+        yh = y >> u64(32)
+        ll = xl * yl
+        hh = xh * yh
+        lh = xl * yh
+        hl = xh * yl
+        mid = lh + hl
+        mid_c = xp.where(mid < lh, u64(1) << u64(32), u64(0))
+        lo = ll + (mid << u64(32))
+        c1 = xp.where(lo < ll, u64(1), u64(0))
+        hi = hh + (mid >> u64(32)) + mid_c + c1
+        return _reduce128_64(lo, hi)
+
+    def add(a, b):
+        return _s(_add64(_j(a), _j(b)))
+
+    def sub(a, b):
+        return _s(_sub64(_j(a), _j(b)))
+
+    def neg(a):
+        return _s(_neg64(_j(a)))
+
+    def mul(a, b):
+        return _s(_mul64(_j(a), _j(b)))
+
+    def sqr(a):
+        return mul(a, a)
+
+    def mul_const(a, c):
+        c64 = u64(int(c) % P)
+        return _s(_mul64(_j(a), c64))
+
+    def pow_const(a, e):
+        e = int(e)
+        x = _j(a)
+        r = xp.ones_like(x)
+        while e > 0:
+            if e & 1:
+                r = _mul64(r, x)
+            x = _mul64(x, x)
+            e >>= 1
+        return _s(r)
+
+    from jax import lax as _lax
+    _INV_BITS = _np.array([(P - 2) >> k & 1 for k in range(64)],
+                          dtype=bool)
+
+    def inv(a):
+        def body(carry, bit):
+            result, base = carry
+            cand = _mul64(result, base)
+            return (xp.where(bit, cand, result), _mul64(base, base)), None
+
+        x = _j(a)
+        (r, _), _ = _lax.scan(body, (xp.ones_like(x), x),
+                              xp.asarray(_INV_BITS))
+        return _s(r)
+
+    # u32-word interfaces (used by the Poseidon limb recombination)
+    def mul_32_32(a, b):
+        p = a.astype(u64) * b.astype(u64)
+        return (p.astype(u32), (p >> u64(32)).astype(u32))
+
+    def mul_wide(a, b):
+        x = _j(a)
+        y = _j(b)
+        xl = x & M32
+        xh = x >> u64(32)
+        yl = y & M32
+        yh = y >> u64(32)
+        ll = xl * yl
+        hh = xh * yh
+        lh = xl * yh
+        hl = xh * yl
+        mid = lh + hl
+        mid_c = xp.where(mid < lh, u64(1) << u64(32), u64(0))
+        lo = ll + (mid << u64(32))
+        c1 = xp.where(lo < ll, u64(1), u64(0))
+        hi = hh + (mid >> u64(32)) + mid_c + c1
+        return (*_s(lo), *_s(hi))
+
+    def reduce128(x0, x1, x2, x3):
+        lo = x0.astype(u64) | (x1.astype(u64) << u64(32))
+        hi = x2.astype(u64) | (x3.astype(u64) << u64(32))
+        return _s(_reduce128_64(lo, hi))
+
+    def to_u64(a):
+        lo = _np.asarray(a[0], dtype=_np.uint64)
+        hi = _np.asarray(a[1], dtype=_np.uint64)
+        return (hi << _np.uint64(32)) | lo
+
+    def from_u64(v):
+        v = _np.asarray(v, dtype=_np.uint64)
+        lo = xp.asarray((v & _np.uint64(0xFFFFFFFF)).astype(_np.uint32))
+        hi = xp.asarray((v >> _np.uint64(32)).astype(_np.uint32))
+        return lo, hi
+
+    def select(cond, a, b):
+        return xp.where(cond, a[0], b[0]), xp.where(cond, a[1], b[1])
+
+    def is_zero(a):
+        return (a[0] == u32(0)) & (a[1] == u32(0))
+
+    def eq(a, b):
+        return (a[0] == b[0]) & (a[1] == b[1])
+
+    ns = dict(
+        const=const, canon=canon, add=add, sub=sub, neg=neg, mul=mul,
+        sqr=sqr, mul_const=mul_const, pow_const=pow_const, inv=inv,
+        mul_32_32=mul_32_32, mul_wide=mul_wide, reduce128=reduce128,
+        to_u64=to_u64, from_u64=from_u64, select=select, is_zero=is_zero,
+        eq=eq, xp=xp,
+    )
+    return type("GL64", (), ns)
 
 
 # ---------------------------------------------------------------------------

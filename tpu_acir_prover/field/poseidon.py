@@ -267,15 +267,52 @@ def make_poseidon(G):
 
         Overwrite-mode absorption in chunks of RATE, no padding (lengths are
         static per call site, as in plonky2's hash_n_to_m_no_pad).
-        """
+
+        On the jax backend multi-chunk absorption runs as ONE lax.scan over
+        chunks (masked overwrite of the first k lanes) so each hash call
+        site traces a single permutation body — a bare permute is ~2.6k
+        jaxpr eqns of limb arithmetic, and the unrolled absorb loop was a
+        dominant term in phase-program compile times.  Chunk values and the
+        overwrite masks are scan inputs; the result is bit-identical to the
+        sequential loop."""
         lo, hi = inputs
         c = lo.shape[0]
         state = zero_state(lo.shape[1:])
-        for off in range(0, c, RATE):
-            k = min(RATE, c - off)
-            state = (xp.concatenate([lo[off:off + k], state[0][k:]], axis=0),
-                     xp.concatenate([hi[off:off + k], state[1][k:]], axis=0))
-            state = permute(state)
+        if not is_jax or c <= RATE:
+            for off in range(0, c, RATE):
+                k = min(RATE, c - off)
+                state = (xp.concatenate([lo[off:off + k], state[0][k:]],
+                                        axis=0),
+                         xp.concatenate([hi[off:off + k], state[1][k:]],
+                                        axis=0))
+                state = permute(state)
+            return (state[0][:DIGEST], state[1][:DIGEST])
+        from jax import lax
+        nch = -(-c // RATE)
+        pad = nch * RATE - c
+        batch = lo.shape[1:]
+        if pad:
+            z = xp.zeros((pad,) + batch, xp.uint32)
+            lo = xp.concatenate([lo, z], axis=0)
+            hi = xp.concatenate([hi, z], axis=0)
+        # mask[t, i]: lane i is overwritten by chunk t (k = 8, ..., tail)
+        mask = (np.arange(nch)[:, None] * RATE +
+                np.arange(RATE)[None, :]) < c
+        bshape = (RATE,) + (1,) * len(batch)
+        xs = (lo.reshape((nch, RATE) + batch),
+              hi.reshape((nch, RATE) + batch),
+              xp.asarray(mask))
+
+        def body(st, x):
+            clo, chi, m = x
+            m = m.reshape(bshape)
+            st = (xp.concatenate([xp.where(m, clo, st[0][:RATE]),
+                                  st[0][RATE:]], axis=0),
+                  xp.concatenate([xp.where(m, chi, st[1][:RATE]),
+                                  st[1][RATE:]], axis=0))
+            return permute(st), None
+
+        state, _ = lax.scan(body, state, xs)
         return (state[0][:DIGEST], state[1][:DIGEST])
 
     def two_to_one(left, right):

@@ -92,6 +92,11 @@ class ShardedProvingKey(ProvingKey):
         self.axis = axis
         S = mesh.shape[axis]
         self._nshards = S
+        # several sharded kernels (top-level Merkle pairing, sum_rows over
+        # gathered (S, C) partials, four-step grid splits) assume a
+        # power-of-two shard count; a 6-device mesh would compute wrong
+        # openings via broadcasting rather than fail fast
+        assert S & (S - 1) == 0, f"shard count {S} must be a power of two"
         assert compiled.n % S == 0, \
             f"trace rows {compiled.n} must divide over {S} shards"
         self._row_sharding = NamedSharding(mesh, PartitionSpec(axis))
@@ -269,18 +274,18 @@ class ShardedProvingKey(ProvingKey):
         Returns (local_levels, top_levels); each level is a (4, size) pair
         (size local for local levels, global for top)."""
         import jax
+        from ..prover.merkle import merkle_levels
         H = self.H
         S = self._nshards
         ch = min(self.config.cap_height, m.bit_length() - 1)
         cap_size = 1 << ch
         d = H.hash_no_pad((leaf_loc[0].T, leaf_loc[1].T))  # (4, m/S)
-        local = [d]
-        size_g = m
-        while size_g > cap_size and size_g > S:
-            d = H.two_to_one((d[0][:, 0::2], d[1][:, 0::2]),
-                             (d[0][:, 1::2], d[1][:, 1::2]))
-            local.append(d)
-            size_g //= 2
+        # local subtree: stop at max(cap_size, S) GLOBAL nodes = that /S
+        # local nodes per shard (rolled heap-loop build, 2 traced bodies)
+        stop_g = max(cap_size, S)
+        local = merkle_levels(H, d, max(1, stop_g // S))
+        d = local[-1]
+        size_g = stop_g if m > stop_g else m
         top = []
         if size_g > cap_size:
             # one digest per shard: gather to (4, S) and finish replicated
@@ -473,8 +478,12 @@ class ShardedProvingKey(ProvingKey):
         pi_dev = self.place(_mat_to_dev(G, pi_vals.reshape(n, 1)))
         al4 = (G.xp.asarray(al), G.xp.asarray(ah),
                G.xp.asarray(il), G.xp.asarray(ih))
-        chunk = min(quotient_chunk_rows(self), m // S)
         blk = m // S
+        # round the (env-overridable) chunk down to a power of two <= blk so
+        # it always divides the local block — a non-divisor chunk would make
+        # lax.dynamic_slice clamp the last chunk and break the reshape
+        chunk = min(quotient_chunk_rows(self), blk)
+        chunk = 1 << (chunk.bit_length() - 1)
         perm = [(s, (s - 1) % S) for s in range(S)]
 
         has_twi = _fourstep_ok(m, S)
@@ -528,7 +537,10 @@ class ShardedProvingKey(ProvingKey):
             row0 = idx * (n // S)
 
             def chunk_col(a, k, c):
-                return lax.dynamic_slice(a, (k * n + row0, c), (n // S, 1))
+                # index dtypes pinned: under x64 the python-int offsets
+                # promote to int64 while axis_index is int32
+                return lax.dynamic_slice(
+                    a, (jnp.int32(k * n) + row0, jnp.int32(c)), (n // S, 1))
 
             q_lo = jnp.concatenate(
                 [chunk_col(tc_full[0], k, 0) for k in range(nch)] +

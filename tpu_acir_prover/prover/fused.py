@@ -161,23 +161,17 @@ def ext_dot4(G, E, ys4, alphas4):
 
 
 def merkle_levels_graph(pk, matrix):
-    """All Merkle levels of an (M, C) matrix pair, unrolled in-graph.
+    """All Merkle levels of an (M, C) matrix pair, in-graph (rolled
+    heap-loop build, see merkle.merkle_levels).
     levels[0] = (DIGEST, M) leaf digests, levels[-1] = cap."""
+    from .merkle import merkle_levels
     H = pk.H
     cap_height = pk.config.cap_height
     lo, hi = matrix
     m = lo.shape[0]
     ch = min(cap_height, int(m).bit_length() - 1)
     leaf = H.hash_no_pad((lo.T, hi.T))
-    levels = [leaf]
-    dlo, dhi = leaf
-    size = m
-    while size > (1 << ch):
-        dlo, dhi = H.two_to_one((dlo[:, 0::2], dhi[:, 0::2]),
-                                (dlo[:, 1::2], dhi[:, 1::2]))
-        levels.append((dlo, dhi))
-        size //= 2
-    return levels
+    return merkle_levels(H, leaf, 1 << ch)
 
 
 @dataclass
@@ -412,13 +406,16 @@ def _fused_graph(pk, args):
         idx_list.append(c[0] & mask)
     indices = xp.stack(idx_list).astype(jnp.int32)
 
-    oracle_rows = []
-    oracle_paths = []
-    for o in oracles:
-        lo, hi = o.lde
-        oracle_rows.append((xp.take(lo, indices, axis=0),
-                            xp.take(hi, indices, axis=0)))
-        oracle_paths.append(_gather_paths(xp, o.levels, indices))
+    # Query ROWS of the four committed oracles are NOT gathered here: doing
+    # so would keep every oracle's full LDE alive until the end of the
+    # program (the query indices only exist after the PoW grind), which
+    # put the fused program's peak HBM at 16.6 G at 2^20 rows — over a v5e
+    # chip.  Instead the coefficient matrices (8x smaller) are returned and
+    # a second tiny program per oracle re-runs the coset LDE and gathers
+    # just the query rows (prove_fused below); polynomial evaluation is
+    # exact, so the recomputed rows are bit-identical.  Here each LDE dies
+    # at its last in-graph use (fri_combine) and XLA frees it.
+    oracle_paths = [_gather_paths(xp, o.levels, indices) for o in oracles]
     fri_rows = []
     fri_paths = []
     cur_idx = indices
@@ -439,7 +436,11 @@ def _fused_graph(pk, args):
         "final_im": f_im,
         "pow": pow_witness,
         "indices": indices,
-        "oracle_rows": oracle_rows,
+        "coeffs": {
+            "wires": wires_oracle.coeffs,
+            "z": z_oracle.coeffs,
+            "quotient": quotient_oracle.coeffs,
+        },
         "oracle_paths": oracle_paths,
         "fri_rows": fri_rows,
         "fri_paths": fri_paths,
@@ -500,10 +501,40 @@ def prove_fused(pk, external_values: np.ndarray, timer=None) -> Proof:
         if key not in pk._jits:
             pk._jits[key] = jax.jit(lambda a: _fused_graph(pk, a))
         out = pk._jits[key](args)
+        # second stage: per-oracle query-row extraction (LDE recompute +
+        # gather; see the liveness note in _fused_graph).  The constants
+        # oracle's LDE is ProvingKey-resident, so it is gathered directly.
+        idx = out["indices"]
+        rows = [_query_rows_lde(pk, pk.constants_oracle.lde, idx)]
+        for name in ("wires", "z", "quotient"):
+            rows.append(_query_rows_coeffs(pk, out["coeffs"][name], idx))
+        out["oracle_rows"] = rows
+        del out["coeffs"]
         out = jax.device_get(out)
 
     with timer.phase("assemble"):
         return _assemble_proof(pk, pub_values, out)
+
+
+def _query_rows_lde(pk, lde, indices):
+    """Gather query rows from a resident LDE matrix."""
+    def run(lo, hi, idx):
+        return pk.G.xp.take(lo, idx, axis=0), pk.G.xp.take(hi, idx, axis=0)
+
+    return pk.jit(("qrows_lde", tuple(lde[0].shape)), run)(*lde, indices)
+
+
+def _query_rows_coeffs(pk, coeffs, indices):
+    """Recompute an oracle's coset LDE from its coefficients and gather the
+    query rows (bit-identical to the committed LDE's rows — exact field
+    evaluation)."""
+    def run(lo, hi, idx):
+        lde = coset_lde(pk.G, (lo, hi), pk.config.rate_bits)
+        return pk.G.xp.take(lde[0], idx, axis=0), \
+            pk.G.xp.take(lde[1], idx, axis=0)
+
+    return pk.jit(("qrows_coeffs", tuple(coeffs[0].shape)), run)(
+        *coeffs, indices)
 
 
 def _assemble_proof(pk, pub_values, out) -> Proof:

@@ -17,6 +17,91 @@ from ..field.poseidon import hash_no_pad_ints, two_to_one_ints, DIGEST
 # jitted tree-query programs, shared across trees with identical shapes
 _QUERY_JITS = {}
 
+# bulk chunk for the heap-loop level builder (nodes hashed per iteration)
+_HEAP_CHUNK = 1 << 13
+
+
+def merkle_levels(H, leaf, cap_size: int, chunk: int = _HEAP_CHUNK):
+    """All digest levels above (and including) a (DIGEST, M) leaf level,
+    down to `cap_size` nodes, as a traceable function.
+
+    levels[0] = leaf, levels[-1] = cap; bit-identical to the naive
+    per-level two_to_one loop.  On the jax backend the levels are built in
+    a HEAP layout (node i's children at 2i, 2i+1) with two rolled loops —
+    a bulk fori_loop hashing `chunk` nodes per step in descending order
+    (children of [s, s+c) live at [2s, 2s+2c), always already computed)
+    and a masked top loop for the < chunk levels — so a whole tree traces
+    TWO two_to_one bodies instead of log2(M) of them.  A bare Poseidon
+    permutation is ~2.6k jaxpr eqns of limb arithmetic; the unrolled
+    per-level loop dominated commit-program compile times (75 s per
+    sharded commit on a 2-core host)."""
+    xp = H.G.xp
+    lo, hi = leaf
+    M = lo.shape[1]
+    levels = [leaf]
+    if M <= cap_size:
+        return levels
+    is_jax = "jax" in getattr(xp, "__name__", "")
+    n_levels = (M // cap_size).bit_length() - 1
+    if not is_jax or M // 2 <= max(cap_size, 2):
+        cur = leaf
+        size = M
+        while size > cap_size:
+            cur = H.two_to_one((cur[0][:, 0::2], cur[1][:, 0::2]),
+                               (cur[0][:, 1::2], cur[1][:, 1::2]))
+            levels.append(cur)
+            size //= 2
+        return levels
+
+    from jax import lax
+    import jax.numpy as jnp
+    D = lo.shape[0]
+    c = min(chunk, M // 2)
+    # heap: (D, 2M); [M, 2M) = leaves, internal node i at [i] for i in [1, M)
+    heap = (xp.concatenate([xp.zeros((D, M), xp.uint32), lo], axis=1),
+            xp.concatenate([xp.zeros((D, M), xp.uint32), hi], axis=1))
+
+    def bulk_body(k, hp):
+        s = M - (k + 1) * c
+        kids_lo = lax.dynamic_slice(hp[0], (0, 2 * s), (D, 2 * c))
+        kids_hi = lax.dynamic_slice(hp[1], (0, 2 * s), (D, 2 * c))
+        par = H.two_to_one((kids_lo[:, 0::2], kids_hi[:, 0::2]),
+                           (kids_lo[:, 1::2], kids_hi[:, 1::2]))
+        return (lax.dynamic_update_slice(hp[0], par[0], (0, s)),
+                lax.dynamic_update_slice(hp[1], par[1], (0, s)))
+
+    # bulk covers nodes [c, M): levels of size >= c
+    heap = lax.fori_loop(0, M // c - 1, bulk_body, heap)
+
+    if cap_size < c:
+        # top: nodes [cap_size, c) in the (D, 2c) heap prefix; iteration t
+        # computes ALL c candidate parents but merges in only the row range
+        # of the one level actually ready ([c >> (t+1), c >> t)) — fixed
+        # shapes, one traced body, ~c*log extra hashes (noise: c is small)
+        seg = (heap[0][:, :2 * c], heap[1][:, :2 * c])
+        iota = jnp.arange(c, dtype=jnp.int32)
+        T = (c // cap_size).bit_length() - 1
+
+        def top_body(t, sg):
+            par = H.two_to_one((sg[0][:, 0:2 * c:2], sg[1][:, 0:2 * c:2]),
+                               (sg[0][:, 1:2 * c:2], sg[1][:, 1:2 * c:2]))
+            lo_b = c >> (t + 1)
+            hi_b = c >> t
+            m = (iota >= lo_b) & (iota < hi_b)
+            return (xp.concatenate([xp.where(m, par[0], sg[0][:, :c]),
+                                    sg[0][:, c:]], axis=1),
+                    xp.concatenate([xp.where(m, par[1], sg[1][:, :c]),
+                                    sg[1][:, c:]], axis=1))
+
+        seg = lax.fori_loop(0, T, top_body, seg)
+        heap = (xp.concatenate([seg[0], heap[0][:, 2 * c:]], axis=1),
+                xp.concatenate([seg[1], heap[1][:, 2 * c:]], axis=1))
+
+    for l in range(1, n_levels + 1):
+        size = M >> l
+        levels.append((heap[0][:, size:2 * size], heap[1][:, size:2 * size]))
+    return levels
+
 
 class MerkleTree:
     """Committed matrix + digest levels (device-resident backend arrays).
@@ -32,7 +117,11 @@ class MerkleTree:
         self.levels = levels
         self.cap_height = cap_height
         self._host_levels = None
-        self._query_cache = {}
+        # single-slot cache: rows_u64/paths_for share one gather per proof,
+        # but query indices are fresh per proof and trees (e.g. the
+        # constants oracle) can outlive many proofs — an unbounded dict
+        # would leak one result set per proof
+        self._query_cache = (None, None)
 
     @property
     def num_leaves(self):
@@ -65,8 +154,8 @@ class MerkleTree:
         G = self.G
         xp = G.xp
         key = tuple(indices)
-        if key in self._query_cache:
-            return self._query_cache[key]
+        if self._query_cache[0] == key:
+            return self._query_cache[1]
         idx_np = np.asarray(indices, dtype=np.int32)
         nlev = len(self.levels) - 1
 
@@ -103,7 +192,7 @@ class MerkleTree:
         flat = np.asarray(G.to_u64((cat_lo, cat_hi)))
         paths = [[flat[4 * l:4 * (l + 1), q] for l in range(nlev)]
                  for q in range(len(indices))]
-        self._query_cache[key] = (rows, paths)
+        self._query_cache = (key, (rows, paths))
         return rows, paths
 
 

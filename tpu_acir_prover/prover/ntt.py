@@ -15,6 +15,7 @@ parallelism is vectorization + mesh sharding instead of CPU threads.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -91,10 +92,49 @@ def device_bit_reverse(xp, log_n: int):
     return rev
 
 
-def ntt(G, values, inverse=False):
+def device_powers_rolled(G, base: int, n: int):
+    """[base^0 .. base^(n-1)] as a device (lo, hi) pair via a ROLLED
+    bit-scan fori_loop (one ~200-eqn body vs log2(n) unrolled doubling
+    steps): acc_i = prod over set bits b of i of base^(2^b).  Values are
+    exact field products — bit-identical to device_powers."""
+    import jax.numpy as jnp
+    from jax import lax
+    xp = G.xp
+    if n <= 2:
+        return device_powers(G, base, n)
+    log_n = (n - 1).bit_length()
+    # base^(2^b) for b in [0, log_n) — tiny host table of scalars
+    sq = np.empty(log_n, dtype=np.uint64)
+    cur = base % _gl.P
+    for b in range(log_n):
+        sq[b] = cur
+        cur = _gl.s_mul(cur, cur)
+    sq_lo = xp.asarray((sq & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    sq_hi = xp.asarray((sq >> np.uint64(32)).astype(np.uint32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(b, acc):
+        bit = ((idx >> b) & 1) == 1
+        stepped = G.mul(acc, (sq_lo[b].reshape(1), sq_hi[b].reshape(1)))
+        return (xp.where(bit, stepped[0], acc[0]),
+                xp.where(bit, stepped[1], acc[1]))
+
+    one = (xp.ones(n, xp.uint32), xp.zeros(n, xp.uint32))
+    return lax.fori_loop(0, log_n, body, one)
+
+
+def ntt(G, values, inverse=False, rolled=None):
     """NTT along axis 0 of (lo, hi) arrays shaped (n,) or (n, C).
 
     Natural-order input and output (bit-reversal applied internally).
+
+    jax path: `rolled` (default True) runs the stage loop as ONE
+    fori_loop body using XOR-partner gathers — ~1.5k jaxpr eqns per NTT
+    instead of ~10k+ for the unrolled static-reshape pipeline, which
+    dominated phase-program compile times.  rolled=False keeps the
+    unrolled pipeline (half the multiplies; used by the speed-of-light
+    kernel bench).  Both orders compute the identical butterflies, so
+    outputs are bit-identical.
     """
     xp = G.xp
     lo, hi = values
@@ -105,6 +145,53 @@ def ntt(G, values, inverse=False):
     assert (1 << log_n) == n, "NTT size must be a power of two"
 
     on_dev = _is_jax(xp)
+    if rolled is None:
+        rolled = on_dev and os.environ.get("TPU_ACIR_NTT", "rolled") != "unrolled"
+    if on_dev and rolled and log_n >= 2:
+        import jax.numpy as jnp
+        from jax import lax
+        w_last = _gl.root_of_unity(log_n)
+        if inverse:
+            w_last = _gl.s_inv(w_last)
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+        def revbody(b, rev):
+            return rev | (((idx >> b) & 1) << (log_n - 1 - b))
+
+        rev = lax.fori_loop(0, log_n, revbody, jnp.zeros(n, jnp.int32))
+        lo = jnp.take(lo, rev, axis=0)
+        hi = jnp.take(hi, rev, axis=0)
+        ptab = device_powers_rolled(G, w_last, max(n // 2, 1))
+        half = n // 2
+
+        def stage(s, st):
+            slo, shi = st
+            h = jnp.int32(1) << s
+            partner = idx ^ h
+            stride = jnp.int32(half) >> s
+            tw_idx = (idx & (h - 1)) * stride
+            twl = jnp.take(ptab[0], tw_idx)
+            twh = jnp.take(ptab[1], tw_idx)
+            wb = G.mul((slo, shi), (twl[:, None], twh[:, None]))
+            plo = jnp.take(slo, partner, axis=0)
+            phi = jnp.take(shi, partner, axis=0)
+            pwlo = jnp.take(wb[0], partner, axis=0)
+            pwhi = jnp.take(wb[1], partner, axis=0)
+            up = ((idx & h) != 0)[:, None]
+            addv = G.add((slo, shi), (pwlo, pwhi))
+            subv = G.sub((plo, phi), (wb[0], wb[1]))
+            return (xp.where(up, subv[0], addv[0]),
+                    xp.where(up, subv[1], addv[1]))
+
+        lo, hi = lax.fori_loop(0, log_n, stage, (lo, hi))
+        if inverse:
+            n_inv = G.from_u64(np.uint64(_gl.s_inv(n)))
+            lo, hi = G.mul((lo, hi),
+                           (n_inv[0].reshape(1, 1), n_inv[1].reshape(1, 1)))
+        if squeeze:
+            lo, hi = lo.reshape(-1), hi.reshape(-1)
+        return lo, hi
+
     if on_dev:
         rev = device_bit_reverse(xp, log_n)
         lo = xp.take(lo, rev, axis=0)

@@ -60,8 +60,8 @@ NUM_CHUNKS = 6  # quotient degree < 6n for constraint degree <= 7 at rate 8
 
 
 def _default_xp():
-    from ..utils.jaxcfg import setup_jax_cache
-    setup_jax_cache()
+    from ..utils.jaxcfg import setup_jax
+    setup_jax()
     import jax.numpy as jnp
     return jnp
 
@@ -267,17 +267,77 @@ def _axis_excl_products(E, tens, reverse=False):
 def grouped_fold(G, E, fmat, groups, op, neutral):
     """Per-group log-halving fold of an (n, W) ext matrix's columns.
 
-    Returns a list of per-group (n,) ext values.  One gather + log2(gp)
-    matrix ops for ALL groups — the graph stays O(log) regardless of wire
-    count, which keeps the XLA:CPU compile of the round2/quotient bodies
-    seconds instead of minutes (the per-column tree_fold unrolling was the
-    dominant compile cost at W = 16)."""
+    Returns a STACKED (n, K) ext tensor of per-group values.  One gather +
+    log2(gp) matrix ops for ALL groups — the graph stays O(log) regardless
+    of wire count, which keeps the XLA:CPU compile of the round2/quotient
+    bodies seconds instead of minutes (the per-column tree_fold unrolling
+    was the dominant compile cost at W = 16)."""
     idxd, maskd, gp = _group_gather(G, groups, fmat[0][0].shape[1])
     tens = _group_tensor(G, fmat, idxd, maskd, neutral)
-    red = _fold_last_axis(op, tens)
-    K = len(groups)
-    return [((red[0][0][:, t], red[0][1][:, t]),
-             (red[1][0][:, t], red[1][1][:, t])) for t in range(K)]
+    return _fold_last_axis(op, tens)
+
+
+def _col_ext(tens, t):
+    """Ext column t of a stacked (n, K) ext tensor."""
+    return ((tens[0][0][:, t], tens[0][1][:, t]),
+            (tens[1][0][:, t], tens[1][1][:, t]))
+
+
+def _bcast_cols(v):
+    """(n,) ext value -> (n, 1) broadcastable over stacked columns."""
+    return tuple(tuple(c[:, None] for c in comp) for comp in v)
+
+
+def _slice_cols(tens, sl):
+    """Column slice of a stacked ext tensor."""
+    return tuple(tuple(c[:, sl] for c in comp) for comp in tens)
+
+
+def _pad_cols(xp, tens, neutral):
+    """Pad a stacked (n, K) ext tensor's columns to a power of two with the
+    op's neutral so log-halving folds apply (x op neutral is exact mod p, so
+    values are unchanged)."""
+    k = tens[0][0].shape[-1]
+    m = 1 << max(0, (k - 1).bit_length())
+    if m == k:
+        return tens
+    (nr_lo, nr_hi), (ni_lo, ni_hi) = neutral
+    out = []
+    for comp, f2 in zip(tens, ((nr_lo, nr_hi), (ni_lo, ni_hi))):
+        padded = []
+        for c, f in zip(comp, f2):
+            pad = xp.full(c.shape[:-1] + (m - k,), f, xp.uint32)
+            padded.append(xp.concatenate([c, pad], axis=-1))
+        out.append(tuple(padded))
+    return tuple(out)
+
+
+def _fold_cols(xp, op, tens, neutral):
+    """Fold a stacked (n, K) ext tensor over columns (any K) -> (n,) ext.
+    Pads with the neutral to a power of two; the resulting pairing order
+    equals tree_fold's (exact field ops, so values are order-independent
+    anyway)."""
+    return _fold_last_axis(op, _pad_cols(xp, tens, neutral))
+
+
+def _axis_incl_scan(E, tens, op, neutral):
+    """Inclusive Hillis-Steele scan along the last axis of a stacked ext
+    tensor (log K steps of full-width ops)."""
+    xp = E.G.xp
+    k = tens[0][0].shape[-1]
+    (nr_lo, nr_hi), (ni_lo, ni_hi) = neutral
+    fills = ((nr_lo, nr_hi), (ni_lo, ni_hi))
+    acc = tens
+    d = 1
+    while d < k:
+        shifted = tuple(
+            tuple(xp.concatenate(
+                [xp.full(c.shape[:-1] + (d,), f, xp.uint32), c[..., :-d]],
+                axis=-1) for c, f in zip(comp, f2))
+            for comp, f2 in zip(acc, fills))
+        acc = op(acc, shifted)
+        d *= 2
+    return acc
 
 
 def perm_group_products(G, E, wires, sigmas, xpair, k_dev, beta_d, gamma_d,
@@ -285,9 +345,9 @@ def perm_group_products(G, E, wires, sigmas, xpair, k_dev, beta_d, gamma_d,
     """Per-group (N_g, D_g) products of the permutation factors
     (w_i + B k_i x + G) / (w_i + B sigma_i + G).
 
-    wires/sigmas: (n, W) pairs; k_dev: (W,) pair; returns two lists of ext
-    vectors, one entry per group.  Fully matrix-form: the factors for all W
-    wires are a handful of (n, W) ops."""
+    wires/sigmas: (n, W) pairs; k_dev: (W,) pair; returns two STACKED
+    (n, K) ext tensors, one column per group.  Fully matrix-form: the
+    factors for all W wires are a handful of (n, W) ops."""
     kx = G.mul((xpair[0][:, None], xpair[1][:, None]),
                (k_dev[0][None, :], k_dev[1][None, :]))  # (n, W)
 
@@ -340,13 +400,21 @@ def lookup_fac_matrix(G, E, wires, lam_d):
             G.sub(lam_d[1], (z, z)))
 
 
-def lookup_helper_terms(G, E, wires, lam_d, qlk, groups):
+def lookup_helper_terms(G, E, wires, lam_d, qlk, groups, is_jax=False):
     """Per-helper-group values h_g = qLK * sum_{i in g} 1/(lam - w_i).
-    wires: (n, W) pair, qlk: (n,) base pair, returns a list of ext vecs."""
+    wires: (n, W) pair, qlk: (n,) base pair, returns a STACKED (n, nh)
+    ext tensor.
+
+    On the jax backend the columnwise inverse is one direct E.inv on the
+    whole (n, W) matrix (a single rolled Fermat scan — ~1k jaxpr eqns)
+    instead of the interleaved product tree (~9k eqns of unrolled levels,
+    the single largest term in the round2 body's compile time); inverses
+    are unique field values, so the results are bit-identical."""
     fmat = lookup_fac_matrix(G, E, wires, lam_d)
-    invs = batch_inv_ext_cols(E, fmat)
+    invs = E.inv(fmat) if is_jax else batch_inv_ext_cols(E, fmat)
     sums = grouped_fold(G, E, invs, groups, E.add, _EXT_ZERO_NEUTRAL)
-    return [(G.mul(acc[0], qlk), G.mul(acc[1], qlk)) for acc in sums]
+    qb = (qlk[0][:, None], qlk[1][:, None])
+    return (G.mul(sums[0], qb), G.mul(sums[1], qb))
 
 
 def prefix_product_ext(G, E, is_jax, ratio, log_n: int):
@@ -527,37 +595,36 @@ def round2_body(pk, wires_full, sig, xh, kdev, tbl, qlk,
     is_jax = pk.is_jax
     wlo, whi = wires_full
     wires = (wlo[:, :W], whi[:, :W])
+    K = len(groups)
     nums, dens = perm_group_products(
-        G, E, wires, sig, xh, kdev, beta_d, gamma_d, groups)
-    num = tree_fold(E.mul, nums)
-    den = tree_fold(E.mul, dens)
+        G, E, wires, sig, xh, kdev, beta_d, gamma_d, groups)  # (n, K) each
+    num = _fold_cols(xp, E.mul, nums, _EXT_ONE_NEUTRAL)
+    den = _fold_cols(xp, E.mul, dens, _EXT_ONE_NEUTRAL)
     ratio = E.mul(num, E.inv(den))
     z = pk.exclusive_prefix_product(ratio)
     ecols = [z]
-    if len(groups) > 1:
-        cum_n = nums[0]
-        cum_d = dens[0]
-        partial_dens = [cum_d]
-        cum_ns = [cum_n]
-        for t in range(1, len(groups) - 1):
-            cum_n = E.mul(cum_n, nums[t])
-            cum_d = E.mul(cum_d, dens[t])
-            cum_ns.append(cum_n)
-            partial_dens.append(cum_d)
-        inv_dens = batch_inv_ext(E, partial_dens)
-        for cn, idn in zip(cum_ns, inv_dens):
-            ecols.append(E.mul(z, E.mul(cn, idn)))
+    if K > 1:
+        # partial products B_t = z * (prod_{i<=t} N_i) / (prod_{i<=t} D_i)
+        # for t < K-1, all columns at once (inclusive scans + one stacked
+        # inverse; inverses are unique so values match any method)
+        cum_n = _axis_incl_scan(E, nums, E.mul, _EXT_ONE_NEUTRAL)
+        cum_d = _axis_incl_scan(E, dens, E.mul, _EXT_ONE_NEUTRAL)
+        cn = _slice_cols(cum_n, slice(0, K - 1))
+        cd = _slice_cols(cum_d, slice(0, K - 1))
+        b = E.mul(_bcast_cols(z), E.mul(cn, E.inv(cd)))
+        ecols.extend(_col_ext(b, t) for t in range(K - 1))
     if has_lk:
         tlo, thi = tbl
-        hs = lookup_helper_terms(G, E, wires, lam_d, qlk, lk_groups)
+        hs = lookup_helper_terms(G, E, wires, lam_d, qlk, lk_groups,
+                                 is_jax=pk.is_jax)  # (n, nh) stacked
         tz = xp.zeros_like(tlo)
         h_t = E.inv(E.sub(lam_d, ((tlo, thi), (tz, tz))))
         mcol = (wlo[:, W], whi[:, W])
         mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
-        delta = tree_fold(E.add, hs)
+        delta = _fold_cols(xp, E.add, hs, _EXT_ZERO_NEUTRAL)
         delta = E.sub(delta, mh)
         s_col = pk.exclusive_prefix_sum(delta)
-        ecols.extend(hs)
+        ecols.extend(_col_ext(hs, t) for t in range(len(lk_groups)))
         ecols.append(h_t)
         ecols.append(s_col)
     lo = xp.stack([c for e in ecols for c in (e[0][0], e[1][0])], axis=1)
@@ -623,14 +690,35 @@ def quotient_rows_body(pk, const_c, wires_full_c, z_c, zg_c, pi_c, x_c,
     sig = (clo[:, NUM_SELECTORS:NUM_SELECTORS + W],
            chi[:, NUM_SELECTORS:NUM_SELECTORS + W])
     nums, dens = perm_group_products(
-        G, E, wires, sig, x_c, kdev, beta_d, gamma_d, groups)
+        G, E, wires, sig, x_c, kdev, beta_d, gamma_d, groups)  # (rows, K)
     K = len(groups)
-    chain = [z_ext] + [_ecol(zlo, zhi, 1 + t) for t in range(K - 1)] \
-        + [zg_ext]
-    for t in range(K):
-        c_t = E.sub(E.mul(chain[t], nums[t]),
-                    E.mul(chain[t + 1], dens[t]))
-        terms.append(a_mul(2 + t, c_t))
+
+    def zcols_ext(mlo, mhi, lo_c, hi_c):
+        """Stacked ext columns [lo_c, hi_c) of an interleaved base matrix."""
+        return ((mlo[:, 2 * lo_c:2 * hi_c:2], mhi[:, 2 * lo_c:2 * hi_c:2]),
+                (mlo[:, 2 * lo_c + 1:2 * hi_c:2],
+                 mhi[:, 2 * lo_c + 1:2 * hi_c:2]))
+
+    def a_mul_st(lo_i, hi_i, tens):
+        """alpha^[lo_i, hi_i) * stacked columns, summed -> one (rows,) ext
+        term (exact field ops: any summation order is bit-identical)."""
+        a = ((alr[None, lo_i:hi_i], ahr[None, lo_i:hi_i]),
+             (ali[None, lo_i:hi_i], ahi_[None, lo_i:hi_i]))
+        return _fold_cols(xp, E.add, E.mul(a, tens), _EXT_ZERO_NEUTRAL)
+
+    def cat_cols(t1, t2):
+        return tuple(tuple(xp.concatenate([c1, c2], axis=1)
+                           for c1, c2 in zip(comp1, comp2))
+                     for comp1, comp2 in zip(t1, t2))
+
+    # permutation chain constraints, all K at once:
+    #   c_t = chain[t] * N_t - chain[t+1] * D_t,
+    #   chain = [Z, B_1..B_{K-1}, Z(gx)]
+    zb = zcols_ext(zlo, zhi, 0, K)                      # [Z, B_1..B_{K-1}]
+    zgb = ((zglo[:, 0:1], zghi[:, 0:1]), (zglo[:, 1:2], zghi[:, 1:2]))
+    chain_hi = cat_cols(_slice_cols(zb, slice(1, K)), zgb)  # chain[1..K]
+    c_perm = E.sub(E.mul(zb, nums), E.mul(chain_hi, dens))  # (rows, K)
+    terms.append(a_mul_st(2, 2 + K, c_perm))
 
     if has_lk:
         qlk = col(clo, chi, SEL_QLK)
@@ -651,22 +739,19 @@ def quotient_rows_body(pk, const_c, wires_full_c, z_c, zg_c, pi_c, x_c,
         ab0 = tuple(tuple(xp.where(maskd, c, xp.uint32(0)) for c in comp)
                     for comp in allbut)
         rhs_all = _fold_last_axis(E.add, ab0)          # (rows, nh)
-        for t in range(nh):
-            h_g = _ecol(zlo, zhi, K + t)
-            prod = ((prods[0][0][:, t], prods[0][1][:, t]),
-                    (prods[1][0][:, t], prods[1][1][:, t]))
-            rhs = ((rhs_all[0][0][:, t], rhs_all[0][1][:, t]),
-                   (rhs_all[1][0][:, t], rhs_all[1][1][:, t]))
-            rhs_s = (G.mul(rhs[0], qlk), G.mul(rhs[1], qlk))
-            c_h = E.sub(E.mul(h_g, prod), rhs_s)
-            terms.append(a_mul(base_i + t, c_h))
+        # c_h = h_g * prod_g - qLK * allbut_sum_g, all nh at once
+        h_st = zcols_ext(zlo, zhi, K, K + nh)
+        qb = (qlk[0][:, None], qlk[1][:, None])
+        rhs_s = (G.mul(rhs_all[0], qb), G.mul(rhs_all[1], qb))
+        c_h = E.sub(E.mul(h_st, prods), rhs_s)
+        terms.append(a_mul_st(base_i, base_i + nh, c_h))
         h_t = _ecol(zlo, zhi, K + nh)
         c_ht = E.sub(E.mul(h_t, E.sub(lam_d, base_to_ext(tcol))),
                      _ext_ones(xp, rows))
         terms.append(a_mul(base_i + nh, c_ht))
         s_ext = _ecol(zlo, zhi, K + nh + 1)
         sg_ext = _ecol(zglo, zghi, K + nh + 1)
-        hsum = tree_fold(E.add, [_ecol(zlo, zhi, K + t) for t in range(nh)])
+        hsum = _fold_cols(xp, E.add, h_st, _EXT_ZERO_NEUTRAL)
         mh = (G.mul(h_t[0], mcol), G.mul(h_t[1], mcol))
         c_s = E.add(E.sub(E.sub(sg_ext, s_ext), hsum), mh)
         terms.append(a_mul(base_i + nh + 1, c_s))
@@ -705,8 +790,12 @@ def quotient_pi_lde_body(pk, pi_pair):
 
 
 def quotient_chunk_rows(pk) -> int:
-    """Row-chunk size for the quotient evaluation (env-overridable)."""
-    return int(os.environ.get("TPU_ACIR_QUOTIENT_CHUNK", str(1 << 21)))
+    """Row-chunk size for the quotient evaluation (env-overridable).
+    Rounded down to a power of two so it always divides the (power-of-two)
+    LDE domain / local shard block."""
+    chunk = int(os.environ.get("TPU_ACIR_QUOTIENT_CHUNK", str(1 << 21)))
+    assert chunk > 0, "TPU_ACIR_QUOTIENT_CHUNK must be positive"
+    return 1 << (chunk.bit_length() - 1)
 
 
 def quotient_body(pk, const_lde, wires_lde_full, z_lde, pi_pair,
@@ -844,10 +933,10 @@ class ProvingKey:
             xp = _default_xp()
         elif "jax" in getattr(xp, "__name__", ""):
             # explicit-xp construction (e.g. ShardedProvingKey) must still
-            # get the persistent compile cache: sharded phase programs cost
-            # minutes to partition cold
-            from ..utils.jaxcfg import setup_jax_cache
-            setup_jax_cache()
+            # get the persistent compile cache (sharded phase programs cost
+            # minutes to partition cold) and the CPU u64 field path
+            from ..utils.jaxcfg import setup_jax
+            setup_jax()
         self.G = make_gl(xp)
         self.E = make_ext(self.G)
         self.H = make_poseidon(self.G)
@@ -981,21 +1070,16 @@ class ProvingKey:
         return Oracle(coeffs, lde, tree)
 
     def merkle_levels_graph(self, matrix):
-        """All Merkle levels of an (M, C) matrix pair, in-graph (traced)."""
+        """All Merkle levels of an (M, C) matrix pair, in-graph (traced).
+        Rolled heap-loop build (merkle.merkle_levels): two traced
+        two_to_one bodies per tree instead of log2(M)."""
+        from .merkle import merkle_levels
         H = self.H
         cap_height = self.config.cap_height
         m, c = matrix[0].shape
         ch = min(cap_height, int(m).bit_length() - 1)
         leaf = H.hash_no_pad((matrix[0].T, matrix[1].T))
-        levels = [leaf]
-        dlo, dhi = leaf
-        size = m
-        while size > (1 << ch):
-            dlo, dhi = H.two_to_one((dlo[:, 0::2], dhi[:, 0::2]),
-                                    (dlo[:, 1::2], dhi[:, 1::2]))
-            levels.append((dlo, dhi))
-            size //= 2
-        return levels
+        return merkle_levels(H, leaf, 1 << ch)
 
     def round2_phase(self, wires_dev, beta, gamma, lam):
         """Round-2 committed columns: permutation grand product Z, partial

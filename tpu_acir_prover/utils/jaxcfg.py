@@ -45,3 +45,17 @@ def setup_jax_cache() -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def setup_jax() -> None:
+    """Full JAX setup for prover entry points: persistent compile cache +
+    the native-u64 Goldilocks path on the CPU backend (field/gl.py
+    _use_u64 — ~5x fewer ops per field multiply, bit-identical values).
+    x64 is never enabled on TPU (no 64-bit integer lanes)."""
+    setup_jax_cache()
+    import jax
+    try:
+        if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+    except Exception:  # pragma: no cover - backend probing is best-effort
+        pass
