@@ -28,9 +28,11 @@ def _compile_ecdsa(valid=True):
 
 
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
-                    reason="full-size (2^17-row) prove takes ~1h on the "
-                           "2-core CI box; RUN_SLOW=1 (exercised on TPU by "
-                           "bench.py BENCH_MODE=ecdsa every round)")
+                    reason="full-size (2^17-row) prove is too slow for the "
+                           "2-core CI box; RUN_SLOW=1 runs it.  The default "
+                           "bench.py (BENCH_MODE=all) proves+verifies the "
+                           "same fixture on the TPU and records it as the "
+                           "ecdsa_prover_wall_time metric line")
 def test_ecdsa_prove_verify():
     import jax.numpy as jnp
     tr, cc, wm = _compile_ecdsa()

@@ -60,13 +60,15 @@ def _use_u64(xp) -> bool:
         return False
 
 
-def make_gl(xp):
+def make_gl(xp, force_u32: bool = False):
     """Build the Goldilocks op namespace over backend ``xp`` (numpy or jnp).
 
     Every function takes/returns uint32 arrays; field elements are (lo, hi)
-    tuples of equal-shape arrays.
+    tuples of equal-shape arrays.  force_u32 pins the 32-bit-limb
+    implementation even when the CPU u64 path is active (Pallas kernel
+    bodies have no 64-bit lanes).
     """
-    if _use_u64(xp):
+    if not force_u32 and _use_u64(xp):
         return _make_gl_u64(xp)
     u32 = xp.uint32
 

@@ -47,18 +47,29 @@ BULK_CHUNK = 1 << 12
 
 
 def pallas_enabled() -> bool:
-    """Use the Pallas kernels?  Default: only on a real TPU backend.
-    TPU_ACIR_PALLAS=0 forces off, =1 forces on (for interpret-mode use)."""
+    """Use the Pallas kernels in the Merkle path?  OPT-IN via
+    TPU_ACIR_PALLAS=1 (TPU backend only unless =interp).
+
+    Measured on a v5e chip (round 5): the rolled-rounds kernels run the
+    2M-leaf two_to_one sweep in ~398 ms vs ~220 ms for the XLA scan path —
+    the per-round SMEM constant rebuild and fori overhead outweigh the
+    VMEM-residency win at this tile size — and the straight-line-rounds
+    variant compiles for >20 min under Mosaic.  They are kept as a correct,
+    tested baseline for further kernel tuning, not as the default."""
     env = os.environ.get("TPU_ACIR_PALLAS")
-    if env == "0":
+    if env not in ("1", "interp"):
         return False
-    if env == "1":
+    if env == "interp":
         return True
     try:
         import jax
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _interp() -> bool:
+    return os.environ.get("TPU_ACIR_PALLAS") == "interp"
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +152,12 @@ def _const_specs():
     return [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
 
 
-def permute_tile(G, state, consts, unroll=True):
+def permute_tile(G, state, consts, unroll=False):
     """Full Poseidon2 permutation of a (12, T) (lo, hi) pair; `consts` are
-    the _const_arrays SMEM refs.  unroll=True emits the 30 rounds as
-    straight-line code (static SMEM reads, best Mosaic schedule);
-    unroll=False rolls them as three fori_loops (smaller kernel).
-    Bit-identical to field.poseidon.make_poseidon(...).permute."""
+    the _const_arrays SMEM refs.  unroll=False (default) rolls the rounds
+    as three fori_loops — the straight-line variant takes Mosaic >20 min
+    to compile at width 12.  Bit-identical to
+    field.poseidon.make_poseidon(...).permute."""
     import jax.numpy as jnp
     from jax import lax
     xp = jnp
@@ -216,7 +227,7 @@ def _leaf_call(C: int, M: int, tile: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..field.gl import make_gl
-    G = make_gl(jnp)
+    G = make_gl(jnp, force_u32=True)
 
     kern = functools.partial(_leaf_kernel, G, C)
     return pl.pallas_call(
@@ -266,7 +277,7 @@ def _two_to_one_call(N: int, tile: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..field.gl import make_gl
-    G = make_gl(jnp)
+    G = make_gl(jnp, force_u32=True)
 
     kern = functools.partial(_two_to_one_kernel, G)
     return pl.pallas_call(

@@ -274,12 +274,12 @@ class ShardedProvingKey(ProvingKey):
         Returns (local_levels, top_levels); each level is a (4, size) pair
         (size local for local levels, global for top)."""
         import jax
-        from ..prover.merkle import merkle_levels
+        from ..prover.merkle import leaf_digests, merkle_levels
         H = self.H
         S = self._nshards
         ch = min(self.config.cap_height, m.bit_length() - 1)
         cap_size = 1 << ch
-        d = H.hash_no_pad((leaf_loc[0].T, leaf_loc[1].T))  # (4, m/S)
+        d = leaf_digests(H, leaf_loc)  # (4, m/S)
         # local subtree: stop at max(cap_size, S) GLOBAL nodes = that /S
         # local nodes per shard (rolled heap-loop build, 2 traced bodies)
         stop_g = max(cap_size, S)

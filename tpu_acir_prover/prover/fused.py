@@ -164,13 +164,13 @@ def merkle_levels_graph(pk, matrix):
     """All Merkle levels of an (M, C) matrix pair, in-graph (rolled
     heap-loop build, see merkle.merkle_levels).
     levels[0] = (DIGEST, M) leaf digests, levels[-1] = cap."""
-    from .merkle import merkle_levels
+    from .merkle import leaf_digests, merkle_levels
     H = pk.H
     cap_height = pk.config.cap_height
     lo, hi = matrix
     m = lo.shape[0]
     ch = min(cap_height, int(m).bit_length() - 1)
-    leaf = H.hash_no_pad((lo.T, hi.T))
+    leaf = leaf_digests(H, matrix)
     return merkle_levels(H, leaf, 1 << ch)
 
 
@@ -264,7 +264,21 @@ def _fused_graph(pk, args):
     n, m = pk.n, pk.m
     W = pk.W
 
-    wires_dev = args["wires"]
+    if "vals" in args:
+        # wires gathered ON DEVICE from the solved variable vector by the
+        # pk-resident (W, n) routing table: ships ~n values over the (possibly
+        # network-tunneled) host->device link instead of the full (n, W+1)
+        # wires matrix — a 17x transfer cut at 2^20 rows
+        vlo, vhi = args["vals"]
+        widx = args["wire_idx"]            # (W, n) int32
+        wlo = jnp.take(vlo, widx, axis=0).T
+        whi = jnp.take(vhi, widx, axis=0).T
+        if "mcol" in args:
+            wlo = jnp.concatenate([wlo, args["mcol"][0][:, None]], axis=1)
+            whi = jnp.concatenate([whi, args["mcol"][1][:, None]], axis=1)
+        wires_dev = (wlo, whi)
+    else:
+        wires_dev = args["wires"]
     pub = args["pub"]                      # (npub,) pair
     const_oracle = GraphOracle(args["const_coeffs"], args["const_lde"],
                                list(args["const_levels"]))
@@ -474,17 +488,11 @@ def prove_fused(pk, external_values: np.ndarray, timer=None) -> Proof:
     with timer.phase("witness_fill"):
         vals = cc.generate_witness(external_values)
     pub_values = cc.public_values(vals)
-    wires_mat = cc.wire_values(vals)
-    if pk.has_lookups:
-        mcol = cc.multiplicities(wires_mat)
-        wires_u64 = np.concatenate([wires_mat, mcol.reshape(1, n)],
-                                   axis=0).T
-    else:
-        wires_u64 = wires_mat.T
 
     with timer.phase("fused_device"):
         args = dict(
-            wires=_mat_to_dev(G, wires_u64),
+            vals=_mat_to_dev(G, vals),
+            wire_idx=pk.wire_idx_dev,
             pub=_mat_to_dev(G, np.array(pub_values, dtype=np.uint64)),
             const_coeffs=pk.constants_oracle.coeffs,
             const_lde=pk.constants_oracle.lde,
@@ -497,6 +505,9 @@ def prove_fused(pk, external_values: np.ndarray, timer=None) -> Proof:
             qlk=getattr(pk, "qlk_dev",
                         (G.xp.zeros(n, G.xp.uint32),) * 2),
         )
+        if pk.has_lookups:
+            mcol = cc.multiplicities(cc.wire_values(vals))
+            args["mcol"] = _mat_to_dev(G, mcol)
         key = ("fused", quotient_chunk_rows(pk))
         if key not in pk._jits:
             pk._jits[key] = jax.jit(lambda a: _fused_graph(pk, a))

@@ -19,6 +19,24 @@ _QUERY_JITS = {}
 
 # bulk chunk for the heap-loop level builder (nodes hashed per iteration)
 _HEAP_CHUNK = 1 << 13
+# levels at least this wide go through the Pallas kernel when enabled
+_PALLAS_MIN_LEVEL = 1 << 11
+
+
+def leaf_digests(H, matrix):
+    """(M, C) matrix pair -> (DIGEST, M) leaf digests.  Routes through the
+    Pallas leaf-sponge kernel when TPU_ACIR_PALLAS enables it (bit-identical
+    to the sponge; kernels/poseidon_pallas.py), else the XLA scan path."""
+    lo, hi = matrix
+    xp = H.G.xp
+    if "jax" in getattr(xp, "__name__", ""):
+        from ..kernels.poseidon_pallas import pallas_enabled, leaf_hash, \
+            _interp
+        if pallas_enabled():
+            out = leaf_hash((lo.T, hi.T), interpret=_interp())
+            if out is not None:
+                return out
+    return H.hash_no_pad((lo.T, hi.T))
 
 
 def merkle_levels(H, leaf, cap_size: int, chunk: int = _HEAP_CHUNK):
@@ -43,6 +61,26 @@ def merkle_levels(H, leaf, cap_size: int, chunk: int = _HEAP_CHUNK):
         return levels
     is_jax = "jax" in getattr(xp, "__name__", "")
     n_levels = (M // cap_size).bit_length() - 1
+    if is_jax:
+        from ..kernels.poseidon_pallas import (pallas_enabled,
+                                               two_to_one_level, _interp)
+        if pallas_enabled() and M // 2 >= _PALLAS_MIN_LEVEL and M > cap_size:
+            cur = leaf
+            size = M
+            while size > cap_size and size // 2 >= _PALLAS_MIN_LEVEL:
+                left = (cur[0][:, 0::2], cur[1][:, 0::2])
+                right = (cur[0][:, 1::2], cur[1][:, 1::2])
+                nxt = two_to_one_level(left, right, interpret=_interp())
+                if nxt is None:
+                    break
+                cur = nxt
+                levels.append(cur)
+                size //= 2
+            if size < M:  # at least one kernel level was produced
+                if size <= cap_size:
+                    return levels
+                rest = merkle_levels(H, cur, cap_size, chunk)
+                return levels + rest[1:]
     if not is_jax or M // 2 <= max(cap_size, 2):
         cur = leaf
         size = M

@@ -146,7 +146,17 @@ def ntt(G, values, inverse=False, rolled=None):
 
     on_dev = _is_jax(xp)
     if rolled is None:
-        rolled = on_dev and os.environ.get("TPU_ACIR_NTT", "rolled") != "unrolled"
+        # rolled (fori + XOR-partner gathers) is the compile-light default
+        # on CPU; on TPU the per-stage row gathers are ~30x slower than the
+        # static-reshape pipeline, so the unrolled form is the default there
+        env = os.environ.get("TPU_ACIR_NTT")
+        if env in ("rolled", "unrolled"):
+            rolled = env == "rolled"
+        elif on_dev:
+            import jax
+            rolled = jax.default_backend() == "cpu"
+        else:
+            rolled = False
     if on_dev and rolled and log_n >= 2:
         import jax.numpy as jnp
         from jax import lax
@@ -206,13 +216,53 @@ def ntt(G, values, inverse=False, rolled=None):
         lo = xp.take(lo, xp.asarray(rev.astype(np.int32)), axis=0)
         hi = xp.take(hi, xp.asarray(rev.astype(np.int32)), axis=0)
         tables = _twiddle_tables(log_n, inverse)
-    for s in range(log_n):
+    def stage_tw(s):
         h = 1 << s
         if on_dev:
             stride = 1 << (log_n - 1 - s)
             tw = (ptab[0][::stride][:h], ptab[1][::stride][:h])
         else:
             tw = G.from_u64(tables[s])  # shape (h,)
+        return tw
+
+    s = 0
+    while s < log_n:
+        h = 1 << s
+        if s + 1 < log_n and on_dev:
+            # two radix-2 stages fused into one pass (radix-4): identical
+            # field ops and association -> bit-identical values, but ONE
+            # materialization of the working arrays instead of two — the
+            # per-stage array traffic, not the multiplies, dominates the
+            # unrolled NTT on the TPU
+            tw1 = stage_tw(s)
+            tw1 = (tw1[0].reshape(1, h, 1), tw1[1].reshape(1, h, 1))
+            tw2 = stage_tw(s + 1)
+            wa = (tw2[0][:h].reshape(1, h, 1), tw2[1][:h].reshape(1, h, 1))
+            wb = (tw2[0][h:].reshape(1, h, 1), tw2[1][h:].reshape(1, h, 1))
+            v = (lo.reshape(-1, 2, 2, h, c), hi.reshape(-1, 2, 2, h, c))
+            a = (v[0][:, 0, 0], v[1][:, 0, 0])
+            b = (v[0][:, 0, 1], v[1][:, 0, 1])
+            cc_ = (v[0][:, 1, 0], v[1][:, 1, 0])
+            d = (v[0][:, 1, 1], v[1][:, 1, 1])
+            t1 = G.mul(b, tw1)
+            p0 = G.add(a, t1)
+            p1 = G.sub(a, t1)
+            t2 = G.mul(d, tw1)
+            q0 = G.add(cc_, t2)
+            q1 = G.sub(cc_, t2)
+            ta = G.mul(q0, wa)
+            tb = G.mul(q1, wb)
+            r00 = G.add(p0, ta)
+            r01 = G.add(p1, tb)
+            r10 = G.sub(p0, ta)
+            r11 = G.sub(p1, tb)
+            lo = xp.stack([r00[0], r01[0], r10[0], r11[0]],
+                          axis=1).reshape(n, c)
+            hi = xp.stack([r00[1], r01[1], r10[1], r11[1]],
+                          axis=1).reshape(n, c)
+            s += 2
+            continue
+        tw = stage_tw(s)
         tw = (tw[0].reshape(1, h, 1), tw[1].reshape(1, h, 1))
         a = (lo.reshape(-1, 2, h, c)[:, 0], hi.reshape(-1, 2, h, c)[:, 0])
         b = (lo.reshape(-1, 2, h, c)[:, 1], hi.reshape(-1, 2, h, c)[:, 1])
@@ -221,6 +271,7 @@ def ntt(G, values, inverse=False, rolled=None):
         s1 = G.sub(a, t)
         lo = xp.stack([s0[0], s1[0]], axis=1).reshape(n, c)
         hi = xp.stack([s0[1], s1[1]], axis=1).reshape(n, c)
+        s += 1
 
     if inverse:
         n_inv = G.from_u64(np.uint64(_gl.s_inv(n)))

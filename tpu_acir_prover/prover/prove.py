@@ -983,6 +983,11 @@ class ProvingKey:
                                                     self.m // rate)))
         self.sigma_dev = self.place(_mat_to_dev(G, compiled.sigma.T))
         self.k_dev = _to_dev(G, np.array(compiled.k_shifts, dtype=np.uint64))
+        # (W, n) wire routing table, device-resident: lets the fused prover
+        # gather the wires matrix on device from the ~n-value solved vector
+        # (17x smaller host->device transfer than the full wires matrix)
+        self.wire_idx_dev = G.xp.asarray(
+            compiled.wire_vars.astype(np.int32))
         if self.has_lookups:
             self.table_dev = self.place(_to_dev(G, compiled.table))
             self.qlk_dev = self.place(_to_dev(G, compiled.selectors[SEL_QLK]))
@@ -1044,6 +1049,42 @@ class ProvingKey:
 
     # ---- phase programs -----------------------------------------------------
 
+    def build_wires(self, vals: np.ndarray, mcol=None):
+        """Solved variable vector -> (n, W[+1]) device wires pair.
+
+        jax path: ship the ~n-element value vector and gather the wires
+        matrix ON DEVICE through the resident (W, n) routing table — a 17x
+        smaller host->device transfer than the full wires matrix (which
+        dominated the wire_commit phase on a network-tunneled chip)."""
+        G = self.G
+        n = self.n
+        if not self.is_jax:
+            wires_mat = self.compiled.wire_values(vals)
+            if mcol is not None:
+                w = np.concatenate([wires_mat, mcol.reshape(1, n)],
+                                   axis=0).T
+            else:
+                w = wires_mat.T
+            return self.place(_mat_to_dev(G, w))
+
+        def run(vlo, vhi, widx, *m):
+            xp = G.xp
+            wlo = xp.take(vlo, widx, axis=0).T
+            whi = xp.take(vhi, widx, axis=0).T
+            if m:
+                wlo = xp.concatenate([wlo, m[0][:, None]], axis=1)
+                whi = xp.concatenate([whi, m[1][:, None]], axis=1)
+            return wlo, whi
+
+        args = _mat_to_dev(G, np.ascontiguousarray(vals))
+        if mcol is not None:
+            args = (*args, self.wire_idx_dev, *_mat_to_dev(G, mcol))
+        else:
+            args = (*args, self.wire_idx_dev)
+        out = self.jit(("build_wires", mcol is not None, vals.shape[0]),
+                       run)(*args)
+        return self.place(tuple(out))
+
     def commit(self, values_dev, from_coeffs: bool = False) -> Oracle:
         """INTT + coset LDE + leaf hash + EVERY Merkle level as ONE jitted
         program.  The per-level programs this replaces cost ~20 device
@@ -1073,12 +1114,12 @@ class ProvingKey:
         """All Merkle levels of an (M, C) matrix pair, in-graph (traced).
         Rolled heap-loop build (merkle.merkle_levels): two traced
         two_to_one bodies per tree instead of log2(M)."""
-        from .merkle import merkle_levels
+        from .merkle import leaf_digests, merkle_levels
         H = self.H
         cap_height = self.config.cap_height
         m, c = matrix[0].shape
         ch = min(cap_height, int(m).bit_length() - 1)
-        leaf = H.hash_no_pad((matrix[0].T, matrix[1].T))
+        leaf = leaf_digests(H, matrix)
         return merkle_levels(H, leaf, 1 << ch)
 
     def round2_phase(self, wires_dev, beta, gamma, lam):
@@ -1358,12 +1399,10 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
         bad = cc.check_constraints(vals)
         assert bad is None, f"constraint violated at row {bad}"
     pub_values = cc.public_values(vals)
-    wires_mat = cc.wire_values(vals)          # (W, n)
     if pk.has_lookups:
-        mcol = cc.multiplicities(wires_mat)   # (n,)
-        wires_u64 = np.concatenate([wires_mat, mcol.reshape(1, n)], axis=0).T
+        mcol = cc.multiplicities(cc.wire_values(vals))   # (n,)
     else:
-        wires_u64 = wires_mat.T               # (n, W)
+        mcol = None
 
     challenger = Challenger()
     for d in pk.vk.constants_cap:
@@ -1376,7 +1415,7 @@ def prove(pk: ProvingKey, external_values: np.ndarray,
     # leaving it outside made the per-phase breakdown lie (~14 s of device
     # time showed up in no phase at 2^20 on a tunneled chip)
     with timer.phase("wire_commit"):
-        wires_dev = pk.place(_mat_to_dev(G, wires_u64))
+        wires_dev = pk.build_wires(vals, mcol)
         wires_oracle = pk.commit(wires_dev)
         challenger.observe_cap(wires_oracle.tree.cap_u64())
     beta = challenger.get_ext_challenge()
